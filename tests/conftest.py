@@ -1,0 +1,31 @@
+"""Test configuration: force the JAX CPU backend with 8 virtual devices so
+multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4c).
+
+Must run before jax is imported anywhere in the test process.
+"""
+
+import os
+
+# Force-override: the ambient environment pins JAX to the TPU tunnel (axon
+# PJRT plugin registered via sitecustomize); tests must run on the
+# virtual-device CPU backend. The env var alone is not enough — the plugin
+# re-pins the platform — so also update jax.config before any backend use.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def example_episode():
+    """Path to the reference's shipped example episode (read-only fixture)."""
+    path = "/root/reference/example/case_000"
+    if not os.path.isdir(path):
+        pytest.skip("reference example episode not available")
+    return path
