@@ -1,0 +1,88 @@
+"""Benchmark: seconds per 25-frame 1024x576 panoramic clip (single-clip
+pipeline, 25 Euler steps x 2-way CFG + chunked temporal VAE decode).
+
+Mirrors the reference's inference cost drivers (BASELINE.md): the denoise
+loop at latents (25, 18, 72, 128) and the VAE decode. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s/clip", "vs_baseline": N/60}
+vs_baseline is relative to the 60 s/clip north-star target (BASELINE.json);
+< 1.0 beats the target.
+
+Runs on whatever JAX platform is active (TPU under the driver). Use
+--small for a fast CPU smoke run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build_pipeline(small: bool):
+    from evoworld_tpu.diffusion.pipeline import PipelineConfig, make_random_pipeline
+    from evoworld_tpu.models.clip import CLIPVisionConfig
+    from evoworld_tpu.models.unet import UNetConfig
+    from evoworld_tpu.models.vae import VAEConfig
+
+    if small:
+        config = PipelineConfig(height=64, width=128, num_frames=5, num_steps=3, decode_chunk=5)
+        return make_random_pipeline(
+            config,
+            unet_config=UNetConfig(block_out_channels=(32, 64, 128, 128), num_attention_heads=(2, 4, 8, 8)),
+            vae_config=VAEConfig(block_out_channels=(32, 64, 128, 128)),
+            clip_config=CLIPVisionConfig(hidden_size=64, num_layers=2, num_heads=4, mlp_dim=128),
+            compute_dtype=jnp.bfloat16,
+            zero_init=True,
+        ), config
+    config = PipelineConfig()  # 1024x576x25, 25 steps
+    return make_random_pipeline(config, compute_dtype=jnp.bfloat16, zero_init=True), config
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--small", action="store_true", help="tiny smoke config")
+    parser.add_argument("--repeats", type=int, default=2)
+    args = parser.parse_args()
+
+    pipeline, config = build_pipeline(args.small)
+    h, w, f = config.height, config.width, config.num_frames
+
+    image = jnp.zeros((h, w, 3), jnp.float32)
+    plucker = jnp.zeros((f, 6, h // 8, w // 8), jnp.float32)
+    memory = jnp.zeros((f, h, w, 3), jnp.float32)
+
+    def run(key, mask):
+        out = pipeline(image, plucker, memory, key, mask_mem=mask)
+        # Scalar readback: forces execution even on backends where
+        # block_until_ready is a no-op (axon tunnel), without timing a full
+        # frame transfer to host.
+        return float(jnp.sum(out[..., 0, 0, 0]))
+
+    # Warmup / compile.
+    t0 = time.time()
+    run(jax.random.key(0), True)
+    compile_time = time.time() - t0
+    print(f"# compile+first-run: {compile_time:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.time()
+        run(jax.random.key(i + 1), False)
+        times.append(time.time() - t0)
+    value = min(times)
+
+    metric = f"sec_per_clip_{w}x{h}x{f}" + ("_small" if args.small else "")
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": "s/clip",
+        "vs_baseline": round(value / 60.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

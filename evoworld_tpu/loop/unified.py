@@ -1,0 +1,199 @@
+"""Unified evolving-memory loop: generate -> reconstruct -> re-condition.
+
+Functional equivalent of `UnifiedLoopConsistencyPipeline.process_episode`
+(/root/reference/unified_loop_consistency.py:398-492):
+
+  for segment_id in range(num_segments):
+    1. generate a 25-frame pano clip (segment 0: zero memory + mask_mem);
+    2. drop the duplicated first frame for segments > 0 (:427-428);
+    3. if not last segment:
+       a. extract look-at-center perspective views of ALL generated frames
+          (yaw toward pose (segment_id+1)*24+24, :299-334);
+       b. run the feed-forward reconstructor (VGGT) on them;
+       c. update pose yaws with the computed look-at yaws (:455-459);
+       d. align GT cameras to the reconstruction (first/last-point
+          similarity) and splat-render the next 24 target views;
+       e. memory for the next segment = [last generated frame context] +
+          rendered panoramas (pipeline prepends the start frame itself).
+
+Unlike the reference there are NO file-mediated handoffs: frames,
+perspective crops, point clouds, and rendered memories stay device arrays
+across the whole loop (the reference writes PNGs between every stage,
+SURVEY.md §3.1).
+
+The reconstructor is injected: any callable
+  images (S, Hp, Wp, 3) in [0,1] -> dict(world_points (S, h, w, 3),
+  conf (S, h, w), extrinsic (S, 3, 4) w2c, colors optional)
+works — the real VGGT lives in evoworld_tpu.models.vggt.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evoworld_tpu.geometry.pose import pose_to_matrix
+from evoworld_tpu.geometry.resample import equi_to_pers
+from evoworld_tpu.loop.navigator import Navigator, calculate_segment_indices
+from evoworld_tpu.memory.pointcloud import confidence_mask
+from evoworld_tpu.memory.render import align_target_poses, render_memory_panoramas
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    num_segments: int = 3
+    num_frames: int = 25
+    num_target_view: int = 24
+    pers_height: int = 384
+    pers_width: int = 512
+    pers_fov_x: float = 90.0
+    conf_percentile: float = 50.0
+    pos_scale: float = 0.1
+
+
+class UnifiedLoop:
+    """Episode-level orchestration of the evolving 3D memory."""
+
+    def __init__(
+        self,
+        navigator: Navigator,
+        reconstructor: Optional[Callable] = None,
+        config: LoopConfig = LoopConfig(),
+    ):
+        self.navigator = navigator
+        self.reconstructor = reconstructor
+        self.config = config
+
+    # -- reference convert_pano_to_pers (:299-334) ---------------------
+    def panos_to_perspectives(
+        self, frames: jnp.ndarray, camera_params: np.ndarray, segment_id: int
+    ):
+        """Extract look-at-center perspective views of generated panoramas.
+
+        Args:
+            frames: (N, H, W, 3) generated panoramas in [0, 1].
+            camera_params: (M, 6) UNSCALED OpenCV-RDF pose rows.
+
+        Returns:
+            (pers (N, Hp, Wp, 3), target_yaws_deg (N,)) — the yaw assigned to
+            each frame's virtual perspective camera.
+        """
+        cfg = self.config
+        look_at_idx = (segment_id + 1) * cfg.num_target_view + cfg.num_target_view
+        n = frames.shape[0]
+        yaws = []
+        for i in range(n):
+            idx = i  # pose row of frame i (0-based)
+            if idx < len(camera_params):
+                cur = camera_params[idx]
+                look = camera_params[min(look_at_idx, len(camera_params) - 1)]
+                target_yaw = math.atan2(look[0] - cur[0], look[2] - cur[2])
+                yaw_diff = math.radians(cur[4]) - target_yaw
+            else:
+                yaw_diff = 0.0
+            yaws.append(yaw_diff)
+        yaws = np.asarray(yaws, np.float32)
+
+        def extract(frame, yaw):
+            return equi_to_pers(
+                frame, yaw=yaw, out_height=cfg.pers_height,
+                out_width=cfg.pers_width, fov_x_deg=cfg.pers_fov_x,
+            )
+
+        pers = jax.lax.map(lambda args: extract(*args), (frames, jnp.asarray(yaws)))
+        return pers, np.degrees(yaws)
+
+    # -- memory rebuild (:442-489) -------------------------------------
+    def rebuild_memory(
+        self,
+        all_frames: jnp.ndarray,
+        camera_params: np.ndarray,
+        segment_id: int,
+    ) -> jnp.ndarray:
+        """Run reconstruction on generated frames and render next-segment
+        memory panoramas. Returns (num_target_view, H, W, 3) in [0, 1]."""
+        assert self.reconstructor is not None, "no reconstructor injected"
+        cfg = self.config
+        _, end_idx, _ = calculate_segment_indices(segment_id, cfg.num_target_view)
+
+        pers, target_yaws = self.panos_to_perspectives(all_frames, camera_params, segment_id)
+        preds = self.reconstructor(pers)
+
+        # Update yaw column with the look-at yaws (reference :455-459).
+        temp_cam = camera_params.copy()
+        s = max(0, end_idx - len(target_yaws))
+        temp_cam[s:end_idx, 4] = target_yaws[: end_idx - s]
+
+        gt_c2w = pose_to_matrix(jnp.asarray(temp_cam, jnp.float32), relative=True)
+        target_c2w = align_target_poses(
+            gt_c2w, preds["extrinsic"], segment_id, cfg.num_target_view
+        )
+
+        points = preds["world_points"].reshape(-1, 3)
+        conf = preds["conf"]
+        colors = preds.get("colors")
+        if colors is None:
+            colors = pers[:, : conf.shape[1], : conf.shape[2], :]
+        colors = colors.reshape(-1, 3)
+        valid = confidence_mask(conf, cfg.conf_percentile).reshape(-1)
+
+        height, width = all_frames.shape[1], all_frames.shape[2]
+        return render_memory_panoramas(points, colors, valid, target_c2w, height, width)
+
+    # -- reference process_episode (:398-492) --------------------------
+    def run_episode(
+        self,
+        start_image: jnp.ndarray,
+        scaled_traj: np.ndarray,
+        camera_params: np.ndarray,
+        rng: jax.Array,
+    ) -> Dict[str, List[jnp.ndarray]]:
+        """Generate `num_segments` clips with evolving 3D memory.
+
+        Args:
+            start_image: (H, W, 3) first GT frame in [-1, 1].
+            scaled_traj: (M, 6) pose rows with pos_scale applied (pipeline
+                conditioning path).
+            camera_params: (M, 6) UNSCALED pose rows (reconstruction path).
+            rng: PRNG key.
+
+        Returns:
+            dict with "segments": list of (F or F-1, H, W, 3) frame arrays in
+            [0, 1] and "memories": list of rendered memory stacks.
+        """
+        cfg = self.config
+        all_frames: Optional[jnp.ndarray] = None
+        memories_out = []
+        segments_out = []
+        memory_frames = jnp.zeros(
+            (cfg.num_frames, start_image.shape[0], start_image.shape[1], 3), jnp.float32
+        )
+        current = start_image
+
+        for segment_id in range(cfg.num_segments):
+            start_idx, end_idx, _ = calculate_segment_indices(segment_id, cfg.num_target_view)
+            segment = scaled_traj[start_idx - 1 if segment_id else 0 : end_idx - 1]
+            rng, sub = jax.random.split(rng)
+            frames = self.navigator.generate_segment(
+                segment, current, memory_frames, sub, use_memory=segment_id > 0
+            )
+            new_frames = frames[1:] if segment_id > 0 else frames
+            segments_out.append(new_frames)
+            all_frames = new_frames if all_frames is None else jnp.concatenate([all_frames, new_frames], 0)
+            current = frames[-1] * 2.0 - 1.0  # carry into next segment, [-1, 1]
+
+            if segment_id < cfg.num_segments - 1 and self.reconstructor is not None:
+                rendered = self.rebuild_memory(all_frames, camera_params, segment_id)
+                memories_out.append(rendered)
+                # Next-segment memory: 25 frames = context frame + 24 renders
+                # in [-1, 1] (dataset transform convention, reference :422).
+                memory_frames = jnp.concatenate(
+                    [current[None], rendered * 2.0 - 1.0], axis=0
+                )
+
+        return {"segments": segments_out, "memories": memories_out}

@@ -1,0 +1,150 @@
+"""VGGT aggregator: alternating frame-wise / global attention transformer.
+
+TPU-native reimplementation of the upstream VGGT-1B aggregator (the
+facebookresearch/vggt submodule is not vendored in the reference — API
+reconstructed from call sites, SURVEY.md §2.9): a DINOv2-style patch embed
+feeds per-frame tokens (camera token + register tokens + patch tokens); 24
+blocks each apply one attention layer within each frame and one across the
+concatenated tokens of all frames. Intermediate outputs feed the DPT heads.
+
+Alternating attention maps naturally onto batching: frame attention runs as
+(B*S, P, C) and global as (B, S*P, C) — both through the same flash-attention
+kernel, no custom masking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from evoworld_tpu.ops.attention import multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class AggregatorConfig:
+    img_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24            # pairs of (frame, global) attention blocks
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 4
+    qk_norm: bool = True
+    layerscale_init: float = 0.01
+    output_layers: Tuple[int, ...] = (4, 11, 17, 23)
+    # Per-frame DINOv2-style ViT encoder applied before the alternating
+    # attention (upstream uses a full DINOv2 ViT-L as patch_embed).
+    patch_encoder_depth: int = 24
+
+
+class ViTBlock(nn.Module):
+    """Pre-LN transformer block with optional QK-norm and LayerScale."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    qk_norm: bool
+    layerscale_init: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = self.dim
+        head_dim = d // self.num_heads
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x.astype(jnp.float32)).astype(x.dtype)
+        b, s, _ = h.shape
+        qkv = nn.Dense(3 * d, name="qkv", dtype=x.dtype)(h).reshape(b, s, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if self.qk_norm:
+            q = nn.LayerNorm(dtype=jnp.float32, name="q_norm")(q.astype(jnp.float32)).astype(x.dtype)
+            k = nn.LayerNorm(dtype=jnp.float32, name="k_norm")(k.astype(jnp.float32)).astype(x.dtype)
+        attn = multi_head_attention(q, k, v).reshape(b, s, d)
+        attn = nn.Dense(d, name="proj", dtype=x.dtype)(attn)
+        ls1 = self.param("ls1", nn.initializers.constant(self.layerscale_init), (d,), jnp.float32)
+        x = x + attn * ls1.astype(x.dtype)
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x.astype(jnp.float32)).astype(x.dtype)
+        h = nn.Dense(int(d * self.mlp_ratio), name="fc1", dtype=x.dtype)(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(d, name="fc2", dtype=x.dtype)(h)
+        ls2 = self.param("ls2", nn.initializers.constant(self.layerscale_init), (d,), jnp.float32)
+        return x + h * ls2.astype(x.dtype)
+
+
+class Aggregator(nn.Module):
+    """(B, S, H, W, 3) normalized images -> per-layer token stacks.
+
+    Returns (outputs, patch_hw) where outputs is a list over
+    config.output_layers of (B, S, T, C) token arrays (T = 1 camera +
+    R register + P patch tokens) plus the final layer output appended.
+    """
+
+    config: AggregatorConfig = AggregatorConfig()
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray):
+        cfg = self.config
+        b, s, height, width, _ = images.shape
+        ph, pw = height // cfg.patch_size, width // cfg.patch_size
+        num_patches = ph * pw
+        d = cfg.embed_dim
+
+        x = images.reshape(b * s, height, width, 3)
+        patches = nn.Conv(
+            d, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID", name="patch_embed", dtype=images.dtype,
+        )(x).reshape(b * s, num_patches, d)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (num_patches, d), jnp.float32
+        )
+        patches = patches + pos.astype(patches.dtype)[None]
+
+        # Frame-local ViT encoder (DINOv2 role): runs on (B*S, P, C).
+        for i in range(cfg.patch_encoder_depth):
+            patches = ViTBlock(
+                d, cfg.num_heads, cfg.mlp_ratio, qk_norm=False, layerscale_init=1.0,
+                name=f"dino_blocks_{i}",
+            )(patches)
+
+        # Camera + register tokens; frame 0 (the query frame) gets its own
+        # set so the model can identify the reference view.
+        def tok(name, n):
+            return self.param(name, nn.initializers.normal(0.02), (n, d), jnp.float32)
+
+        cam_first, cam_rest = tok("camera_token_first", 1), tok("camera_token", 1)
+        reg_first = tok("register_token_first", cfg.num_register_tokens)
+        reg_rest = tok("register_token", cfg.num_register_tokens)
+
+        def frame_tokens(i):
+            cam = cam_first if i == 0 else cam_rest
+            reg = reg_first if i == 0 else reg_rest
+            return jnp.concatenate([cam, reg], axis=0)
+
+        special = jnp.stack([frame_tokens(i) for i in range(s)], axis=0)  # (S, 1+R, d)
+        special = jnp.broadcast_to(special[None], (b,) + special.shape).reshape(
+            b * s, 1 + cfg.num_register_tokens, d
+        ).astype(patches.dtype)
+
+        tokens = jnp.concatenate([special, patches], axis=1)   # (B*S, T, d)
+        t = tokens.shape[1]
+
+        outputs: List[jnp.ndarray] = []
+        want = set(cfg.output_layers)
+        for i in range(cfg.depth):
+            tokens = ViTBlock(
+                d, cfg.num_heads, cfg.mlp_ratio, cfg.qk_norm, cfg.layerscale_init,
+                name=f"frame_blocks_{i}",
+            )(tokens)
+            glob = tokens.reshape(b, s * t, d)
+            glob = ViTBlock(
+                d, cfg.num_heads, cfg.mlp_ratio, cfg.qk_norm, cfg.layerscale_init,
+                name=f"global_blocks_{i}",
+            )(glob)
+            tokens = glob.reshape(b * s, t, d)
+            if i in want or i == cfg.depth - 1:
+                outputs.append(tokens.reshape(b, s, t, d))
+
+        return outputs, (ph, pw)

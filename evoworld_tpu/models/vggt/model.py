@@ -1,0 +1,138 @@
+"""VGGT: feed-forward multi-view 3D reconstruction.
+
+Satisfies the contract the reference consumes (SURVEY.md §2.9,
+/root/reference/unified_loop_consistency.py:49-52,125-136,336-368):
+
+    preds = model(images)   # (B, S, H, W, 3) normalized
+    preds["pose_enc"]   (B, S, 9)
+    preds["depth"]      (B, S, H, W, 1)
+    preds["depth_conf"] (B, S, H, W)
+    preds["world_points"], preds["world_points_conf"]  (optional pointmap head)
+    preds["images"]     input images (for point colors)
+
+plus `load_and_preprocess_images` (resize to width 518, height to a multiple
+of 14) and the geometry decoders in `vggt.geometry`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from evoworld_tpu.models.vggt.aggregator import Aggregator, AggregatorConfig
+from evoworld_tpu.models.vggt.heads import CameraHead, DPTConfig, DPTHead
+from evoworld_tpu.models.vggt.geometry import (
+    pose_encoding_to_extri_intri,
+    unproject_depth_map_to_point_map,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class VGGTConfig:
+    aggregator: AggregatorConfig = AggregatorConfig()
+    with_point_head: bool = True
+    camera_trunk_depth: int = 4
+
+
+class VGGT(nn.Module):
+    """Aggregator + camera / depth / point heads."""
+
+    config: VGGTConfig = VGGTConfig()
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        b, s, height, width, _ = images.shape
+        num_special = 1 + cfg.aggregator.num_register_tokens
+
+        outputs, patch_hw = Aggregator(cfg.aggregator, name="aggregator")(images)
+
+        cam_tokens = outputs[-1][:, :, 0, :]                   # (B, S, C)
+        pose_enc = CameraHead(
+            dim=cfg.aggregator.embed_dim,
+            trunk_depth=cfg.camera_trunk_depth,
+            num_heads=cfg.aggregator.num_heads,
+            name="camera_head",
+        )(cam_tokens)
+
+        layer_tokens = [
+            o[:, :, num_special:, :].reshape(b * s, -1, cfg.aggregator.embed_dim)
+            for o in outputs[:4]
+        ]
+        depth_out = DPTHead(
+            DPTConfig(out_channels=2, dim=cfg.aggregator.embed_dim), name="depth_head"
+        )(layer_tokens, patch_hw, (height, width))
+        depth_out = depth_out.reshape(b, s, height, width, 2).astype(jnp.float32)
+        # Positive depth via exp-style activation; conf stays raw + 1 offset
+        # (upstream uses expm1-activated depth and 1+exp conf).
+        depth = jnp.expm1(jnp.clip(depth_out[..., 0:1], -10.0, 12.0))
+        depth = jnp.maximum(depth, 1e-4)
+        depth_conf = 1.0 + jnp.exp(jnp.clip(depth_out[..., 1], -10.0, 10.0))
+
+        preds: Dict[str, jnp.ndarray] = {
+            "pose_enc": pose_enc,
+            "depth": depth,
+            "depth_conf": depth_conf,
+            "images": images,
+        }
+
+        if cfg.with_point_head:
+            point_out = DPTHead(
+                DPTConfig(out_channels=4, dim=cfg.aggregator.embed_dim), name="point_head"
+            )(layer_tokens, patch_hw, (height, width))
+            point_out = point_out.reshape(b, s, height, width, 4).astype(jnp.float32)
+            preds["world_points"] = point_out[..., 0:3]
+            preds["world_points_conf"] = 1.0 + jnp.exp(jnp.clip(point_out[..., 3], -10.0, 10.0))
+
+        return preds
+
+
+def load_and_preprocess_images(images: np.ndarray, target_width: int = 518) -> jnp.ndarray:
+    """(S, H, W, 3) uint8/float [0,1] -> (1, S, H', W', 3) normalized batch.
+
+    Matches the upstream loader's contract (resize to width 518, height to
+    the nearest multiple of the 14-px patch), ImageNet-free [0, 1] scaling
+    (upstream VGGT normalizes to [0, 1] only).
+    """
+    import jax.image
+
+    arr = jnp.asarray(images, jnp.float32)
+    if arr.max() > 1.5:
+        arr = arr / 255.0
+    s, h, w, _ = arr.shape
+    new_w = target_width
+    new_h = int(round(h * new_w / w / 14)) * 14
+    arr = jax.image.resize(arr, (s, new_h, new_w, 3), "bilinear")
+    return arr[None]
+
+
+def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16):
+    """Wrap a VGGT model as the UnifiedLoop reconstructor callable.
+
+    Returns fn(images (S, Hp, Wp, 3) in [0,1]) -> dict with world_points,
+    conf, extrinsic, colors — running preprocessing, the model, pose
+    decoding, and depth unprojection in one jitted program (reference flow:
+    unified_loop_consistency.py:336-368 with prediction_mode
+    "depth_unproject").
+    """
+
+    @jax.jit
+    def reconstruct(images):
+        batch = load_and_preprocess_images(jnp.asarray(images))
+        preds = model.apply(params, batch.astype(compute_dtype))
+        hw = batch.shape[2:4]
+        extrinsic, intrinsic = pose_encoding_to_extri_intri(preds["pose_enc"][0], hw)
+        points = unproject_depth_map_to_point_map(preds["depth"][0], extrinsic, intrinsic)
+        return {
+            "world_points": points,
+            "conf": preds["depth_conf"][0],
+            "extrinsic": extrinsic,
+            "colors": batch[0],
+        }
+
+    return reconstruct

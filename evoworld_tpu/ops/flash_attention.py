@@ -1,12 +1,17 @@
 """Blockwise flash attention as a Pallas TPU kernel.
 
-Online-softmax attention (Dao et al.) tiled for the MXU: the query sequence is
-blocked over the grid, K/V live in VMEM per (batch, head) program, and the
-kernel keeps running max / normalizer / accumulator in fp32 while the matmuls
-run on the MXU. Non-causal, no masking beyond padded-length handling — exactly
-the shape of the UNet's spatial (seq ~ 9216) and temporal (seq = 25) attention
-(reference equivalent: xformers memory-efficient attention inside diffusers
-blocks, /root/reference/requirements.txt).
+Online-softmax attention (Dao et al.) tiled for the MXU. The grid is
+(batch*heads, q_blocks, kv_blocks) with the KV dimension innermost: each
+program sees one (block_q, d) query tile and one (block_k, d) KV tile in
+VMEM, carrying running max / normalizer / accumulator in VMEM scratch across
+the KV sweep. K/V therefore stream from HBM block by block — VMEM usage is
+O(block sizes), independent of sequence length (the full-KV-resident variant
+OOMs VMEM at the VAE's 9216-token, 512-dim attention).
+
+Non-causal, padded-length masking only — exactly the shape of the UNet's
+spatial (seq ~ 9216) and temporal (seq = 25) attention and the VAE mid
+attention (reference equivalent: xformers memory-efficient attention inside
+diffusers blocks, /root/reference/requirements.txt).
 """
 
 from __future__ import annotations
@@ -21,37 +26,43 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, kv_len: int):
-    """One (batch*head, q-block) program: online softmax over K/V blocks."""
-    q = q_ref[0].astype(jnp.float32) * scale          # (block_q, d)
-    block_q, head_dim = q.shape
-    padded_kv = k_ref.shape[1]
-    num_kb = padded_kv // block_k
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, scale: float, block_k: int, kv_len: int,
+):
+    """One (bh, qi, kj) program: fold one KV block into the running softmax."""
+    j = pl.program_id(2)
+    num_kb = pl.num_programs(2)
 
-    def body(i, carry):
-        m_prev, l_prev, acc_prev = carry
-        kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                              # (block_q, block_k)
-        if kv_len % block_k != 0 or kv_len != padded_kv:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
-            s = jnp.where(col < kv_len, s, _NEG_INF)
-        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
-        acc_new = acc_prev * alpha + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc_new
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, head_dim), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    q = q_ref[0].astype(jnp.float32) * scale            # (block_q, d)
+    kb = k_ref[0].astype(jnp.float32)                   # (block_k, d)
+    vb = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                   # (block_q, block_k)
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_ref[:] = m_new
+    l_ref[:] = l_ref[:] * alpha + p.sum(axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == num_kb - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -100,17 +111,22 @@ def flash_attention(
     kf = to_bh(k, skv_p)
     vf = to_bh(v, skv_p)
 
-    grid = (batch * heads, sq_p // block_q)
+    grid = (batch * heads, sq_p // block_q, skv_p // block_k)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, block_k=block_k, kv_len=skv),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, dim), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, skv_p, dim), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, skv_p, dim), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, dim), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, dim), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, dim), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dim), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, block_q, dim), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((batch * heads, sq_p, dim), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),     # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),     # running normalizer
+            pltpu.VMEM((block_q, dim), jnp.float32),   # output accumulator
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * heads * sq * skv * dim,

@@ -1,0 +1,72 @@
+"""Antialiased resize + separable Gaussian blur.
+
+Equivalent of the reference's `_resize_with_antialiasing` /
+`_gaussian_blur2d` (/root/reference/evoworld/pipeline/pipeline_evoworld.py:
+746-850), used to downscale frames to 224x224 for CLIP conditioning: sigma =
+max((factor-1)/2, 1e-3), kernel size ~4*sigma (odd), reflect padding, then
+bicubic interpolation. (torch uses align_corners=True bicubic; jax.image uses
+half-pixel sampling — the difference is sub-pixel at the borders.)
+
+Channels-last (N, H, W, C).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gaussian_kernel1d(size: int, sigma: float) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - size // 2
+    if size % 2 == 0:
+        x = x + 0.5
+    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    return g / g.sum()
+
+
+def gaussian_blur2d(images: jnp.ndarray, kernel_size: tuple[int, int], sigma: tuple[float, float]) -> jnp.ndarray:
+    """Separable Gaussian blur with reflect padding, (N, H, W, C)."""
+    ky, kx = kernel_size
+    kernel_x = _gaussian_kernel1d(kx, sigma[1]).astype(images.dtype)
+    kernel_y = _gaussian_kernel1d(ky, sigma[0]).astype(images.dtype)
+
+    pad_x = ((kx - 1) // 2, kx - 1 - (kx - 1) // 2)
+    pad_y = ((ky - 1) // 2, ky - 1 - (ky - 1) // 2)
+
+    x = jnp.pad(images, ((0, 0), (0, 0), pad_x, (0, 0)), mode="reflect")
+    x = _depthwise(x, kernel_x.reshape(1, kx))
+    x = jnp.pad(x, ((0, 0), pad_y, (0, 0), (0, 0)), mode="reflect")
+    x = _depthwise(x, kernel_y.reshape(ky, 1))
+    return x
+
+
+def _depthwise(x: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise conv of a (kh, kw) kernel over every channel."""
+    c = x.shape[-1]
+    kh, kw = kernel2d.shape
+    kern = jnp.broadcast_to(kernel2d[:, :, None, None], (kh, kw, 1, c))
+    return jax.lax.conv_general_dilated(
+        x,
+        kern,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def resize_antialiased(images: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Gaussian-prefiltered bicubic resize, (N, H, W, C) -> (N, h, w, C)."""
+    h, w = images.shape[1], images.shape[2]
+    oh, ow = out_hw
+    factor_h, factor_w = h / oh, w / ow
+    sigma_h = max((factor_h - 1.0) / 2.0, 0.001)
+    sigma_w = max((factor_w - 1.0) / 2.0, 0.001)
+    ky = int(max(2.0 * 2 * sigma_h, 3))
+    kx = int(max(2.0 * 2 * sigma_w, 3))
+    ky += 1 - ky % 2
+    kx += 1 - kx % 2
+    if factor_h > 1.0 or factor_w > 1.0:
+        images = gaussian_blur2d(images, (ky, kx), (sigma_h, sigma_w))
+    out_shape = (images.shape[0], oh, ow, images.shape[3])
+    return jax.image.resize(images, out_shape, method="cubic")

@@ -1,0 +1,96 @@
+"""Device mesh and sharding rules.
+
+Replaces the reference's NCCL/accelerate/DeepSpeed distribution stack
+(config/*.yaml, SURVEY.md §2.4-2.5) with a named JAX mesh and GSPMD
+shardings:
+
+  - DDP            -> batch axis sharded over "data"
+  - ZeRO-1         -> optimizer state sharded over "data" (see train/)
+  - (new) TP       -> large kernels sharded over "model"
+  - per-GPU shell-script inference sharding -> episode batch over "data"
+
+Collectives (psum/all-gather/reduce-scatter) are emitted by XLA from the
+shardings; no explicit backend init is required.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+    axis_names=("data", "model"),
+) -> Mesh:
+    """Create a 2D ("data", "model") mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names)
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_params_tp(params, mesh: Mesh, min_size: int = 1 << 16):
+    """Tensor-parallel weight sharding rule.
+
+    Kernels with >= `min_size` elements whose last dim divides the model-axis
+    size are sharded over "model" on that dim (column parallel); everything
+    else is replicated. XLA/GSPMD inserts the matching collectives.
+
+    Returns a pytree of NamedShardings matching `params`.
+    """
+    model_size = mesh.shape["model"]
+
+    def rule(leaf):
+        if (
+            model_size > 1
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 2
+            and leaf.size >= min_size
+            and leaf.shape[-1] % model_size == 0
+        ):
+            spec = [None] * (leaf.ndim - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def shard_opt_state_zero1(opt_state, params_shardings, mesh: Mesh):
+    """ZeRO-1 analog: shard Adam moments over the data axis where possible.
+
+    Moment tensors whose leading dim divides the data-axis size get P("data",
+    ...) on dim 0; scalars and small leaves replicate. Falls back to the
+    parameter sharding for anything shaped like a parameter.
+    """
+    data_size = mesh.shape["data"]
+
+    def rule(leaf):
+        if (
+            hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and leaf.size >= (1 << 16)
+            and leaf.shape[0] % data_size == 0
+        ):
+            spec = ["data"] + [None] * (leaf.ndim - 1)
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, opt_state)

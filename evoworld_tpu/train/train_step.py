@@ -1,0 +1,274 @@
+"""Sharded EDM fine-tuning step.
+
+Functional equivalent of the reference training loop body
+(/root/reference/evoworld/trainer/train_evoworld.py:510-724):
+
+  - latents   = vae.encode(frames).sample() * 0.18215
+  - cond lat  = vae.encode(frames + sigma_aug * eps) (unscaled),
+                sigma_aug ~ LogNormal(-3, 0.5)
+  - sigma     ~ LogNormal(0.7, 1.6); noisy = latents + sigma * eps
+  - unet([noisy/sqrt(sigma^2+1); first-frame lat; memory lat; Pluecker],
+         t = 0.25 log sigma, CLIP ctx, added_time_ids [7, 127, sigma_aug])
+  - denoised  = c_out * pred + c_skip * noisy
+  - loss      = mean((1+sigma^2)/sigma^2 * (denoised - latents)^2)
+  - conditioning dropout: p zeroes CLIP + first-frame latents, 2p memory
+    latents (:645-675)
+  - only temporal transformer blocks, conv_in/out, and all norm params train
+    (:303-315); optimizer AdamW + cosine schedule.
+
+Distribution: one jitted step over a ("data", "model") mesh — batch sharded
+over data (DDP analog), optimizer state sharded (ZeRO-1 analog), large
+kernels optionally sharded over model (TP). Gradient all-reduce is emitted by
+GSPMD; there is no explicit collective code (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from evoworld_tpu.diffusion.scheduler import edm_loss_weight, sigma_to_timestep
+from evoworld_tpu.models.clip import clip_preprocess
+from evoworld_tpu.models.vae import AutoencoderKLTemporal
+from evoworld_tpu.ops.resize import resize_antialiased
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-5
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 1e-2
+    max_grad_norm: float = 1.0
+    conditioning_dropout_prob: float = 0.1
+    sigma_loc: float = 0.7
+    sigma_scale: float = 1.6
+    cond_sigma_loc: float = -3.0
+    cond_sigma_scale: float = 0.5
+    vae_scaling: float = 0.18215
+    fps_cond: float = 7.0
+    motion_bucket_id: float = 127.0
+    total_steps: int = 30000
+    warmup_steps: int = 500
+    lr_schedule: str = "cosine"  # "cosine" | "constant"
+
+
+def trainable_mask(params) -> Any:
+    """Boolean pytree: True for trainable leaves (reference partial-unfreeze
+    semantics — path contains a temporal transformer block, conv_in/out, or
+    any norm)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(path):
+        return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+    masks = {}
+    for path, _ in flat:
+        s = path_str(path).lower()
+        masks[path_str(path)] = (
+            "temporal_transformer_block" in s
+            or "conv_in" in s
+            or "conv_out" in s
+            or "norm" in s
+        )
+
+    def to_mask(path, _leaf):
+        return masks[path_str(path)]
+
+    return jax.tree_util.tree_map_with_path(to_mask, params)
+
+
+def make_optimizer(config: TrainConfig, params) -> optax.GradientTransformation:
+    if config.lr_schedule == "cosine":
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, config.learning_rate, config.warmup_steps, config.total_steps
+        )
+    else:
+        schedule = optax.constant_schedule(config.learning_rate)
+    mask = trainable_mask(params)
+    labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+    train_tx = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adamw(
+            schedule,
+            b1=config.adam_b1,
+            b2=config.adam_b2,
+            eps=config.adam_eps,
+            weight_decay=config.weight_decay,
+        ),
+    )
+    # multi_transform: frozen leaves get zero updates and carry no Adam state;
+    # the grad-norm clip sees only the trainable subset (matching the
+    # reference, which clips the optimizer's param list only).
+    return optax.multi_transform({"train": train_tx, "freeze": optax.set_to_zero()}, labels)
+
+
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_train_state(config: TrainConfig, unet_params) -> tuple[TrainState, optax.GradientTransformation]:
+    opt = make_optimizer(config, unet_params)
+    return TrainState(unet_params, opt.init(unet_params), jnp.zeros((), jnp.int32)), opt
+
+
+def edm_loss(
+    unet,
+    vae,
+    clip_tower,
+    unet_params,
+    frozen_params: dict,
+    batch: dict,
+    rng: jax.Array,
+    config: TrainConfig,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """EDM denoising loss for one batch.
+
+    batch:
+      pixel_values: (B, F, H, W, 3) in [-1, 1]
+      memory_values: (B, F, H, W, 3) in [-1, 1]
+      plucker: (B, F, h, w, 6) channels-last
+    """
+    px = batch["pixel_values"]
+    mem = batch["memory_values"]
+    plucker = batch["plucker"].astype(jnp.float32)
+    b, f = px.shape[0], px.shape[1]
+
+    r_lat, r_noise, r_csig, r_cnoise, r_sig, r_drop, r_clipz = jax.random.split(rng, 7)
+
+    def vae_encode_sample(images, key):
+        flat = images.reshape((-1,) + images.shape[2:])
+        moments = vae.apply(
+            frozen_params["vae"], flat.astype(compute_dtype), method=AutoencoderKLTemporal.encode_moments
+        ).astype(jnp.float32)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+        z = mean + std * jax.random.normal(key, mean.shape, jnp.float32)
+        return z.reshape(images.shape[:2] + z.shape[1:])
+
+    latents = vae_encode_sample(px, r_lat) * config.vae_scaling          # (B, F, h, w, 4)
+
+    # Conditioning latents with noise augmentation (unscaled).
+    cond_imgs = jnp.concatenate([px[:, 0:1], mem], axis=1)               # (B, 1+F, H, W, 3)
+    cond_sigma = jnp.exp(
+        config.cond_sigma_loc
+        + config.cond_sigma_scale * jax.random.normal(r_csig, (b,), jnp.float32)
+    )
+    cond_imgs = cond_imgs + cond_sigma[:, None, None, None, None] * jax.random.normal(
+        r_cnoise, cond_imgs.shape, jnp.float32
+    )
+    cond_lat = vae_encode_sample(cond_imgs, r_clipz)                      # (B, 1+F, h, w, 4)
+    first_lat = jnp.broadcast_to(cond_lat[:, 0:1], cond_lat[:, 1:].shape)
+    mem_lat = cond_lat[:, 1:]
+
+    # CLIP context of the first frame.
+    x224 = resize_antialiased(px[:, 0], (224, 224))
+    embeds = clip_tower.apply(
+        frozen_params["clip"], clip_preprocess((x224 + 1.0) / 2.0).astype(compute_dtype)
+    ).astype(jnp.float32)
+    context = embeds[:, None, :]                                          # (B, 1, 1024)
+
+    # Conditioning dropout (p: CLIP+first-frame, 2p: memory).
+    p = config.conditioning_dropout_prob
+    rand = jax.random.uniform(r_drop, (b,))
+    img_keep = (rand >= p).astype(jnp.float32)
+    mem_keep = (rand >= 2.0 * p).astype(jnp.float32)
+    context = context * img_keep[:, None, None]
+    first_lat = first_lat * img_keep[:, None, None, None, None]
+    mem_lat = mem_lat * mem_keep[:, None, None, None, None]
+
+    # EDM noise level and preconditioning.
+    sigma = jnp.exp(
+        config.sigma_loc + config.sigma_scale * jax.random.normal(r_sig, (b,), jnp.float32)
+    )
+    sig = sigma[:, None, None, None, None]
+    noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
+    noisy = latents + noise * sig
+    inp = noisy / jnp.sqrt(sig**2 + 1.0)
+
+    unet_in = jnp.concatenate([inp, first_lat, mem_lat, plucker], axis=-1)  # (B, F, h, w, 18)
+    timesteps = sigma_to_timestep(sigma)
+    time_ids = jnp.stack(
+        [
+            jnp.full((b,), config.fps_cond),
+            jnp.full((b,), config.motion_bucket_id),
+            cond_sigma,
+        ],
+        axis=-1,
+    )
+
+    pred = unet.apply(
+        unet_params,
+        unet_in.astype(compute_dtype),
+        timesteps,
+        context.astype(compute_dtype),
+        time_ids,
+    ).astype(jnp.float32)
+
+    c_out = -sig / jnp.sqrt(sig**2 + 1.0)
+    c_skip = 1.0 / (sig**2 + 1.0)
+    denoised = pred * c_out + c_skip * noisy
+    weight = edm_loss_weight(sig)
+    loss = jnp.mean(weight * (denoised - latents) ** 2)
+    return loss
+
+
+def make_sharded_train_step(
+    unet,
+    vae,
+    clip_tower,
+    frozen_params: dict,
+    optimizer: optax.GradientTransformation,
+    config: TrainConfig,
+    mesh=None,
+    compute_dtype=jnp.bfloat16,
+):
+    """Build the jitted (optionally mesh-sharded) train step.
+
+    Returns step(state, batch, rng) -> (state, metrics). When `mesh` is given
+    the batch is sharded over the "data" axis and gradients are averaged by
+    GSPMD-inserted collectives.
+    """
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        def loss_fn(params):
+            return edm_loss(
+                unet, vae, clip_tower, params, frozen_params, batch, rng, config, compute_dtype
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        gnorm = optax.global_norm(grads)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    batch_shardings = {
+        "pixel_values": batch_sharding,
+        "memory_values": batch_sharding,
+        "plucker": batch_sharding,
+    }
+    return jax.jit(
+        step_fn,
+        in_shardings=(None, batch_shardings, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,130 @@
+"""Memory subsystem + unified loop tests (stub reconstructor; SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evoworld_tpu.geometry.rays import equirect_ray_grid
+from evoworld_tpu.memory.pointcloud import confidence_mask, scene_scale
+from evoworld_tpu.memory.render import align_target_poses, render_memory_panoramas
+from evoworld_tpu.ops.splat import splat_points_to_pano
+
+
+class TestPointFilter:
+    def test_percentile_mask(self):
+        conf = jnp.asarray(np.arange(100, dtype=np.float32))
+        mask = np.asarray(confidence_mask(conf, 50.0))
+        assert mask.sum() == 50  # >= interpolated median (49.5)
+        assert np.asarray(confidence_mask(conf, 0.0)).all()
+
+    def test_scene_scale_masked(self):
+        pts = jnp.asarray(np.random.default_rng(0).normal(size=(1000, 3)).astype(np.float32))
+        s = float(scene_scale(pts))
+        assert 1.0 < s < 10.0
+        # Scaling points scales the scene scale.
+        s2 = float(scene_scale(pts * 3.0))
+        np.testing.assert_allclose(s2, 3 * s, rtol=1e-3)
+
+
+class TestSplat:
+    def test_occlusion_nearest_wins(self):
+        # Two points along the same ray: near red, far blue.
+        pts = jnp.asarray([[0.0, 0.0, 2.0], [0.0, 0.0, 5.0]])
+        cols = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+        pano, depth, mask = splat_points_to_pano(pts, cols, jnp.eye(4)[:3], 64, 128)
+        center = np.asarray(pano[32, 64])
+        np.testing.assert_allclose(center, [1.0, 0.0, 0.0], atol=1e-6)
+        assert abs(float(depth[32, 64]) - 2.0) < 1e-5
+
+    def test_valid_mask_drops_points(self):
+        pts = jnp.asarray([[0.0, 0.0, 2.0]])
+        cols = jnp.asarray([[1.0, 0.0, 0.0]])
+        pano, _, mask = splat_points_to_pano(
+            pts, cols, jnp.eye(4)[:3], 16, 32, valid=jnp.asarray([False])
+        )
+        assert not bool(np.asarray(mask).any())
+
+    def test_sphere_roundtrip(self):
+        # Generic (non-grid-aligned) sphere points reproject to their pixels.
+        rng = np.random.default_rng(0)
+        h, w = 50, 100
+        lon = rng.uniform(-np.pi * 0.98, np.pi * 0.98, 5000)
+        lat = rng.uniform(-1.2, 1.2, 5000)
+        d = np.stack([np.cos(lat) * np.sin(lon), np.sin(lat), np.cos(lat) * np.cos(lon)], -1)
+        cols = rng.uniform(size=(5000, 3)).astype(np.float32)
+        pano, depth, mask = splat_points_to_pano(
+            jnp.asarray(d * 4.0), jnp.asarray(cols), jnp.eye(4)[:3], h, w
+        )
+        m = np.asarray(mask)
+        assert m.mean() > 0.5
+        np.testing.assert_allclose(np.asarray(depth)[m].max(), 4.0, atol=1e-4)
+
+
+class TestAlignment:
+    def test_align_identity_when_pred_equals_gt(self):
+        rng = np.random.default_rng(1)
+        n = 80
+        centers = np.cumsum(rng.normal(size=(n, 3), scale=0.1), 0).astype(np.float32)
+        gt = np.tile(np.eye(4, dtype=np.float32)[:3], (n, 1, 1))
+        gt[:, :, 3] = centers
+        # Pred extrinsics = inverse of gt c2w (w2c with R=I -> t = -center).
+        pred_w2c = gt.copy()
+        pred_w2c[:, :, 3] = -centers
+        # Pred frames cover exactly the GT rows up to target_start (=25 at
+        # segment 0), matching the loop invariant.
+        targets = align_target_poses(jnp.asarray(gt), jnp.asarray(pred_w2c[:25]), segment_id=0)
+        want = gt[25:49]
+        np.testing.assert_allclose(np.asarray(targets), want, atol=1e-3)
+
+
+class TestUnifiedLoop:
+    def test_three_segment_loop_with_stub(self):
+        """End-to-end loop on tiny shapes with a geometric stub reconstructor."""
+        from evoworld_tpu.diffusion.pipeline import PipelineConfig, make_random_pipeline
+        from evoworld_tpu.models.unet import UNetConfig
+        from evoworld_tpu.models.vae import VAEConfig
+        from evoworld_tpu.models.clip import CLIPVisionConfig
+        from evoworld_tpu.loop.navigator import Navigator
+        from evoworld_tpu.loop.unified import UnifiedLoop, LoopConfig
+
+        f = 5
+        cfg = PipelineConfig(height=64, width=128, num_frames=f, num_steps=2, decode_chunk=5, encode_chunk=2)
+        pipe = make_random_pipeline(
+            cfg,
+            unet_config=UNetConfig(block_out_channels=(32, 64, 128, 128), num_attention_heads=(2, 4, 8, 8)),
+            vae_config=VAEConfig(block_out_channels=(32, 64, 128, 128)),
+            clip_config=CLIPVisionConfig(hidden_size=64, num_layers=2, num_heads=4, mlp_dim=128),
+            compute_dtype=jnp.float32,
+        )
+        nav = Navigator(pipe, num_frames=f)
+
+        def stub_reconstructor(pers):
+            """Unit-sphere cloud + identity-ish cameras."""
+            s = pers.shape[0]
+            h, w = 12, 16
+            rays = equirect_ray_grid(h, w)
+            pts = jnp.broadcast_to(rays[None] * 3.0, (s, h, w, 3))
+            return {
+                "world_points": pts,
+                "conf": jnp.ones((s, h, w)),
+                "extrinsic": jnp.broadcast_to(jnp.eye(4)[:3], (s, 3, 4)),
+                "colors": jnp.ones((s, h, w, 3)) * 0.5,
+            }
+
+        # Loop config scaled down: 5-frame clips, 4 target views.
+        loop = UnifiedLoop(
+            nav, stub_reconstructor,
+            LoopConfig(num_segments=3, num_frames=f, num_target_view=f - 1, pers_height=16, pers_width=24),
+        )
+        n_poses = 3 * (f - 1) + f + 5
+        poses = np.zeros((n_poses, 6), np.float32)
+        poses[:, 2] = np.arange(n_poses) * 0.4  # forward walk
+        start = jnp.zeros((64, 128, 3))
+        out = loop.run_episode(start, poses * 0.1, poses, jax.random.key(0))
+        assert len(out["segments"]) == 3
+        assert out["segments"][0].shape == (f, 64, 128, 3)
+        assert out["segments"][1].shape == (f - 1, 64, 128, 3)
+        assert len(out["memories"]) == 2
+        assert out["memories"][0].shape == (f - 1, 64, 128, 3)
+        for seg in out["segments"]:
+            assert np.isfinite(np.asarray(seg)).all()

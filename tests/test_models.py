@@ -1,0 +1,155 @@
+"""Model-layer tests: shapes, jit-ability, gradient flow, block semantics
+(tiny configs — full-size parity runs against converted checkpoints when
+weights are available; SURVEY.md §4b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evoworld_tpu.models.unet import UNetSpatioTemporal, UNetConfig
+from evoworld_tpu.models.vae import AutoencoderKLTemporal, VAEConfig
+from evoworld_tpu.models.clip import CLIPVisionTower, CLIPVisionConfig, clip_preprocess
+
+TINY_UNET = UNetConfig(block_out_channels=(32, 64, 128, 128), num_attention_heads=(2, 4, 8, 8))
+TINY_VAE = VAEConfig(block_out_channels=(32, 64, 128, 128))
+TINY_CLIP = CLIPVisionConfig(hidden_size=64, num_layers=2, num_heads=4, mlp_dim=128)
+
+
+@pytest.fixture(scope="module")
+def unet_and_params():
+    model = UNetSpatioTemporal(TINY_UNET)
+    sample = jnp.zeros((1, 3, 16, 32, 18))
+    params = model.init(jax.random.key(0), sample, jnp.asarray(1.0), jnp.zeros((1, 1, 1024)), jnp.zeros((1, 3)))
+    return model, params
+
+
+class TestUNet:
+    def test_output_shape(self, unet_and_params):
+        model, params = unet_and_params
+        out = model.apply(params, jnp.ones((1, 3, 16, 32, 18)), jnp.asarray(0.5), jnp.ones((1, 1, 1024)), jnp.ones((1, 3)))
+        assert out.shape == (1, 3, 16, 32, 4)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_full_config_param_count(self):
+        """The full architecture must land at the reference's ~1.5B params."""
+        model = UNetSpatioTemporal(UNetConfig())
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, jnp.ones((1, 2, 8, 16, 18)), jnp.asarray(1.0), jnp.ones((1, 1, 1024)), jnp.ones((1, 3))),
+            jax.random.key(0),
+        )
+        n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+        assert 1.4e9 < n < 1.6e9, n
+
+    def test_timestep_batch_broadcast(self, unet_and_params):
+        model, params = unet_and_params
+        x = jnp.ones((2, 3, 16, 32, 18))
+        out = model.apply(params, x, jnp.asarray([0.5, 1.5]), jnp.ones((2, 1, 1024)), jnp.ones((2, 3)))
+        assert out.shape == (2, 3, 16, 32, 4)
+
+    def test_temporal_mixing_sees_frames(self, unet_and_params):
+        """Changing frame k must influence other frames (temporal attention/conv)."""
+        model, params = unet_and_params
+        base = jnp.zeros((1, 3, 16, 32, 18))
+        pert = base.at[:, 2].set(1.0)
+        o1 = model.apply(params, base, jnp.asarray(1.0), jnp.ones((1, 1, 1024)), jnp.ones((1, 3)))
+        o2 = model.apply(params, pert, jnp.asarray(1.0), jnp.ones((1, 1, 1024)), jnp.ones((1, 3)))
+        diff_frame0 = float(jnp.abs(o1[:, 0] - o2[:, 0]).max())
+        assert diff_frame0 > 1e-6, "temporal paths are not mixing frames"
+
+
+class TestVAE:
+    def test_roundtrip_shapes(self):
+        model = AutoencoderKLTemporal(TINY_VAE)
+        imgs = jnp.ones((2, 64, 64, 3))
+        params = model.init(jax.random.key(0), imgs, 2)
+        z = model.apply(params, imgs, method=AutoencoderKLTemporal.encode_mode)
+        assert z.shape == (2, 8, 8, 4)
+        out = model.apply(params, z, 2, method=AutoencoderKLTemporal.decode)
+        assert out.shape == (2, 64, 64, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_encode_sample_differs_from_mode(self):
+        model = AutoencoderKLTemporal(TINY_VAE)
+        imgs = jnp.ones((1, 64, 64, 3))
+        params = model.init(jax.random.key(0), imgs, 1)
+        mode = model.apply(params, imgs, method=AutoencoderKLTemporal.encode_mode)
+        samp = model.apply(params, imgs, jax.random.key(1), method=AutoencoderKLTemporal.encode_sample)
+        assert not np.allclose(np.asarray(mode), np.asarray(samp))
+
+
+class TestCLIP:
+    def test_projection_shape(self):
+        model = CLIPVisionTower(TINY_CLIP)
+        x = jnp.zeros((2, 224, 224, 3))
+        params = model.init(jax.random.key(0), x)
+        out = model.apply(params, x)
+        assert out.shape == (2, TINY_CLIP.projection_dim)
+
+    def test_preprocess_stats(self):
+        x = jnp.full((1, 224, 224, 3), 0.5)
+        out = np.asarray(clip_preprocess(x))
+        # 0.5 is near the CLIP mean, so outputs should be small.
+        assert np.abs(out).max() < 0.5
+
+
+class TestFlashAttention:
+    def test_matches_xla_reference(self):
+        from evoworld_tpu.ops.attention import _xla_attention
+        from evoworld_tpu.ops.flash_attention import flash_attention
+
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(2, 200, 3, 32)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 333, 3, 32)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 333, 3, 32)).astype(np.float32))
+        want = np.asarray(_xla_attention(q, k, v, scale=1 / np.sqrt(32)))
+        got = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestTrainStep:
+    def test_one_step_decreases_nothing_blows_up(self):
+        from evoworld_tpu.models.clip import CLIPVisionTower
+        from evoworld_tpu.train.train_step import (
+            TrainConfig, TrainState, make_optimizer, make_sharded_train_step,
+        )
+
+        unet = UNetSpatioTemporal(TINY_UNET)
+        vae = AutoencoderKLTemporal(TINY_VAE)
+        clip_tower = CLIPVisionTower(TINY_CLIP)
+        key = jax.random.key(0)
+        f, h, w = 2, 64, 128
+        unet_params = unet.init(key, jnp.zeros((1, f, 8, 16, 18)), jnp.asarray(1.0), jnp.zeros((1, 1, 1024)), jnp.zeros((1, 3)))
+        frozen = {
+            "vae": vae.init(key, jnp.zeros((1, h, w, 3)), 1),
+            "clip": clip_tower.init(key, jnp.zeros((1, 224, 224, 3))),
+        }
+        config = TrainConfig(total_steps=10, warmup_steps=1)
+        opt = make_optimizer(config, unet_params)
+        state = TrainState(unet_params, opt.init(unet_params), jnp.zeros((), jnp.int32))
+        step = make_sharded_train_step(unet, vae, clip_tower, frozen, opt, config, compute_dtype=jnp.float32)
+        batch = {
+            "pixel_values": jnp.zeros((1, f, h, w, 3)),
+            "memory_values": jnp.zeros((1, f, h, w, 3)),
+            "plucker": jnp.zeros((1, f, 8, 16, 6)),
+        }
+        state, metrics = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 1
+
+    def test_trainable_mask_semantics(self):
+        from evoworld_tpu.train.train_step import trainable_mask
+
+        unet = UNetSpatioTemporal(TINY_UNET)
+        params = jax.eval_shape(
+            lambda k: unet.init(k, jnp.ones((1, 2, 16, 32, 18)), jnp.asarray(1.0), jnp.ones((1, 1, 1024)), jnp.ones((1, 3))),
+            jax.random.key(0),
+        )
+        mask = trainable_mask(params)
+        flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+        paths = {"/".join(str(getattr(p, "key", p)) for p in path): m for path, m in flat}
+        # conv_in and all norms train; spatial attention to_q does not.
+        assert any(v for k, v in paths.items() if "conv_in" in k)
+        assert any(v for k, v in paths.items() if "temporal_transformer_blocks_0" in k)
+        spatial_attn = [v for k, v in paths.items() if "transformer_blocks_0/attn1/to_q" in k and "temporal" not in k]
+        assert spatial_attn and not any(spatial_attn)
