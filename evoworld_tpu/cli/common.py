@@ -1,0 +1,41 @@
+"""Shared CLI plumbing: config parsing, frame IO, seeding."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from evoworld_tpu.config import EvoWorldConfig, apply_overrides, describe
+from evoworld_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+def parse_config(argv=None) -> EvoWorldConfig:
+    argv = sys.argv[1:] if argv is None else argv
+    if "--help" in argv or "-h" in argv:
+        print(__doc__ or "")
+        print("Overrides: --section.field=value; sections:",
+              ", ".join(EvoWorldConfig.__dataclass_fields__))
+        print(describe(EvoWorldConfig()))
+        raise SystemExit(0)
+    return apply_overrides(EvoWorldConfig(), argv)
+
+
+def save_frames(frames: np.ndarray, out_dir: str, start_index: int = 0, fmt: str = "{:03d}.png"):
+    """(N, H, W, 3) [0, 1] floats -> PNG files (reference save_frames naming,
+    forward_evoworld.py:159-180)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    arr = np.clip(np.asarray(frames), 0.0, 1.0)
+    for i, frame in enumerate(arr):
+        Image.fromarray((frame * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, fmt.format(start_index + i))
+        )
+
+
+def frames_from_minus1_1(frames: np.ndarray) -> np.ndarray:
+    return np.clip(np.asarray(frames) / 2.0 + 0.5, 0.0, 1.0)

@@ -1,0 +1,77 @@
+"""3-segment evolving-memory generation (the main entry point).
+
+Equivalent of `run_unified_pipeline.sh` / `inference_unity_curve.sh`
+(/root/reference/unified_loop_consistency.py:495-511 + process_episode):
+per episode, generate num_segments clips; after each, reconstruct (VGGT),
+align, splat-render the next segment's memory conditioning. Episode range
+sharding via --data.start_idx/--data.end_idx replaces the reference's
+per-GPU shell loop (inference_unity_curve_multi_gpu.sh).
+
+Usage:
+  python -m evoworld_tpu.cli.run_unified --data.root=<dataset or episode> \
+      --runtime.save_dir=outputs/unified [--loop.num_segments=3]
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from evoworld_tpu.cli.common import frames_from_minus1_1, logger, parse_config, save_frames
+from evoworld_tpu.data.dataset import EpisodeDataset, load_camera_poses
+from evoworld_tpu.loop.navigator import Navigator, calculate_segment_indices
+from evoworld_tpu.loop.unified import UnifiedLoop
+from evoworld_tpu.runtime import build_pipeline, build_reconstructor
+
+
+def main(argv=None):
+    config = parse_config(argv)
+    data, rt = config.data, config.runtime
+
+    dataset = EpisodeDataset(
+        data.root,
+        height=config.pipeline.height,
+        width=config.pipeline.width,
+        sampling="empty_with_traj",
+        pos_scale=data.pos_scale,
+        single_episode=data.single_episode,
+        load_complete_episode=True,
+    )
+    pipeline = build_pipeline(config)
+    navigator = Navigator(pipeline, num_frames=config.pipeline.num_frames)
+    reconstructor = build_reconstructor(config) if config.loop.num_segments > 1 else None
+    loop = UnifiedLoop(navigator, reconstructor, config.loop)
+
+    end = data.end_idx if data.end_idx >= 0 else len(dataset)
+    for idx in range(data.start_idx, min(end, len(dataset))):
+        sample = dataset[idx]
+        name = os.path.basename(sample.episode_path.rstrip("/")) or "episode"
+        logger.info(f"Episode {name}")
+        camera_params = load_camera_poses(os.path.join(sample.episode_path, "camera_poses.txt"))
+
+        out = loop.run_episode(
+            jnp.asarray(sample.pixel_values[0]),
+            sample.cam_traj,
+            camera_params,
+            jax.random.key(rt.seed + idx),
+        )
+
+        ep_dir = os.path.join(rt.save_dir, name)
+        for seg_id, frames in enumerate(out["segments"]):
+            start = seg_id * (config.pipeline.num_frames - 1)
+            save_frames(frames, os.path.join(ep_dir, f"predictions_{seg_id}"), start)
+            s, e, _ = calculate_segment_indices(seg_id, config.loop.num_target_view)
+            gt = sample.pixel_values[s - 1 if seg_id else 0 : e - 1]
+            save_frames(
+                frames_from_minus1_1(gt[1:] if seg_id else gt),
+                os.path.join(ep_dir, f"predictions_gt_{seg_id}"), start,
+            )
+        for seg_id, mem in enumerate(out["memories"]):
+            save_frames(mem, os.path.join(ep_dir, f"rendered_panorama_{seg_id}"), 0, "{:02d}.png")
+        logger.info(f"Saved episode to {ep_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""EDM fine-tuning entry point.
+
+Equivalent of `train.sh` -> `train_evoworld.py` (reference trainer, SURVEY.md
+§3.3): loads the SVD checkpoint (conv_in surgery applied at conversion),
+freezes everything except temporal transformer blocks / conv_in / conv_out /
+norms, and runs the sharded EDM objective over the episode dataset with
+Orbax checkpointing and resume-latest.
+
+Usage:
+  python -m evoworld_tpu.cli.train --data.root=<dataset_root> \
+      --data.single_episode=false --train.total_steps=30000 \
+      [--runtime.svd_checkpoint=...] [--runtime.mesh_model=1]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from evoworld_tpu.cli.common import logger, parse_config
+from evoworld_tpu.data.dataset import EpisodeDataset
+from evoworld_tpu.parallel.mesh import make_mesh
+from evoworld_tpu.runtime import build_pipeline, _dtype
+from evoworld_tpu.train.trainer import TrainerConfig, train
+
+
+def main(argv=None):
+    config = parse_config(argv)
+    data, rt = config.data, config.runtime
+
+    dataset = EpisodeDataset(
+        data.root,
+        height=config.pipeline.height,
+        width=config.pipeline.width,
+        sequence_length=data.sequence_length,
+        sampling=data.sampling,
+        reprojection_name=data.reprojection_name,
+        memory_path=data.memory_path,
+        pos_scale=data.pos_scale,
+        single_episode=data.single_episode,
+    )
+    logger.info(f"dataset: {len(dataset)} episodes")
+
+    pipeline = build_pipeline(config)
+    frozen = {"vae": pipeline.params["vae"], "clip": pipeline.params["clip"]}
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        model_axis = rt.mesh_model
+        mesh = make_mesh(model=model_axis)
+        logger.info(f"mesh: {dict(mesh.shape)}")
+
+    trainer_config = TrainerConfig(
+        output_dir=rt.save_dir,
+        max_steps=config.train.total_steps,
+    )
+    state = train(
+        pipeline.unet,
+        pipeline.vae,
+        pipeline.clip_tower,
+        pipeline.params["unet"],
+        frozen,
+        dataset,
+        config.train,
+        trainer_config,
+        mesh=mesh,
+        batch_size=max(1, n_dev if mesh is not None else 1),
+        compute_dtype=_dtype(rt.compute_dtype),
+    )
+    logger.info(f"training done at step {int(state.step)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Typed configuration tree with dotted CLI overrides.
+
+Replaces the reference's three uncoordinated config layers (argparse per
+entry point + shell variables + accelerate/DeepSpeed YAML — SURVEY.md §5.6)
+with one dataclass tree. Every CLI accepts `--section.field=value` overrides
+plus a few positional conveniences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+from evoworld_tpu.diffusion.pipeline import PipelineConfig
+from evoworld_tpu.loop.unified import LoopConfig
+from evoworld_tpu.train.train_step import TrainConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    root: str = "/root/reference/example/case_000"
+    height: int = 576
+    width: int = 1024
+    sequence_length: int = 25
+    sampling: str = "reprojection"
+    reprojection_name: str = "rendered_panorama_vggt_open3d"
+    memory_path: Optional[str] = None
+    pos_scale: float = 0.1
+    single_episode: bool = True
+    start_idx: int = 0
+    end_idx: int = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    seed: int = 42
+    compute_dtype: str = "bfloat16"
+    mesh_data: int = 0          # 0 -> all devices on the data axis
+    mesh_model: int = 1
+    checkpoint_dir: Optional[str] = None      # converted-weights dir
+    svd_checkpoint: Optional[str] = None      # HF-format SVD pipeline dir
+    vggt_checkpoint: Optional[str] = None
+    allow_random_weights: bool = True
+    save_dir: str = "outputs"
+    profile: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class EvoWorldConfig:
+    pipeline: PipelineConfig = PipelineConfig()
+    loop: LoopConfig = LoopConfig()
+    train: TrainConfig = TrainConfig()
+    data: DataConfig = DataConfig()
+    runtime: RuntimeConfig = RuntimeConfig()
+
+
+def _coerce(value: str, current):
+    t = type(current)
+    if t is bool:
+        return value.lower() in ("1", "true", "yes")
+    if current is None:
+        return value
+    if t in (int, float, str):
+        return t(value)
+    if t is tuple:
+        parts = [p for p in value.strip("()[] ").split(",") if p]
+        elem = type(current[0]) if current else str
+        return tuple(elem(p) for p in parts)
+    raise ValueError(f"cannot coerce {value!r} to {t}")
+
+
+def apply_overrides(config: EvoWorldConfig, argv: Sequence[str]) -> EvoWorldConfig:
+    """Apply `--section.field=value` (or `--section.field value`) overrides."""
+    updates: dict[str, dict] = {}
+    args = list(argv)
+    i = 0
+    while i < len(args):
+        arg = args[i]
+        if not arg.startswith("--"):
+            raise SystemExit(f"unexpected argument {arg!r}")
+        body = arg[2:]
+        if "=" in body:
+            key, value = body.split("=", 1)
+        else:
+            if i + 1 >= len(args):
+                raise SystemExit(f"missing value for {arg}")
+            key, value = body, args[i + 1]
+            i += 1
+        i += 1
+        if "." not in key:
+            raise SystemExit(f"override must be section.field, got {key!r}")
+        section, field = key.split(".", 1)
+        updates.setdefault(section, {})[field] = value
+
+    out = config
+    for section, fields in updates.items():
+        sub = getattr(out, section, None)
+        if sub is None:
+            raise SystemExit(f"unknown config section {section!r}")
+        coerced = {}
+        for field, raw in fields.items():
+            if not hasattr(sub, field):
+                raise SystemExit(f"unknown field {section}.{field}")
+            coerced[field] = _coerce(raw, getattr(sub, field))
+        out = dataclasses.replace(out, **{section: dataclasses.replace(sub, **coerced)})
+    return out
+
+
+def describe(config: EvoWorldConfig) -> str:
+    import json
+
+    return json.dumps(dataclasses.asdict(config), indent=2, default=str)

@@ -50,17 +50,31 @@ def load_camera_poses(path: str, unity_to_opencv: bool = True) -> np.ndarray:
     return poses
 
 
-def _load_image(path: str, height: int, width: int) -> np.ndarray:
-    """PNG/JPG -> (H, W, 3) float32 in [-1, 1]."""
+def _resolve(path: str) -> str:
     if not os.path.exists(path):
         alt = os.path.splitext(path)[0] + ".jpg"
         if os.path.exists(alt):
-            path = alt
-    img = Image.open(path).convert("RGB")
+            return alt
+    return path
+
+
+def _load_image(path: str, height: int, width: int) -> np.ndarray:
+    """PNG/JPG -> (H, W, 3) float32 in [-1, 1]."""
+    img = Image.open(_resolve(path)).convert("RGB")
     if img.size != (width, height):
         img = img.resize((width, height), Image.BILINEAR)
     arr = np.asarray(img, np.float32) / 255.0
     return arr * 2.0 - 1.0
+
+
+def _load_images(paths, height: int, width: int) -> np.ndarray:
+    """Batch load via the native threaded loader when available."""
+    from evoworld_tpu.data.native_io import load_image_batch, native_available
+
+    paths = [_resolve(p) for p in paths]
+    if native_available():
+        return load_image_batch(paths, height, width, minus1_1=True)
+    return np.stack([_load_image(p, height, width) for p in paths])
 
 
 @dataclasses.dataclass
@@ -135,10 +149,10 @@ class EpisodeDataset:
             start = n - self.sequence_length + 1
             end = start + self.sequence_length
 
-        frames = np.stack([
-            _load_image(self._frame_path(ep_dir, i), self.height, self.width)
-            for i in range(start, end)
-        ])
+        frames = _load_images(
+            [self._frame_path(ep_dir, i) for i in range(start, end)],
+            self.height, self.width,
+        )
         traj = poses[start - 1 : end - 1].copy()
 
         if self.sampling == "reprojection":
@@ -160,11 +174,11 @@ class EpisodeDataset:
             base = os.path.join(self.memory_path, os.path.basename(ep_dir))
         mem_dir = os.path.join(base, self.reprojection_name)
         names = sorted(f for f in os.listdir(mem_dir) if f.endswith((".png", ".jpg")))
-        imgs = [_load_image(os.path.join(mem_dir, f"{i:02d}.png"), self.height, self.width)
-                for i in range(len(names))]
         # Prepend the episode's first GT frame (reference :502-508).
-        first = _load_image(self._frame_path(ep_dir, 1), self.height, self.width)
-        return np.stack([first] + imgs)
+        paths = [self._frame_path(ep_dir, 1)] + [
+            os.path.join(mem_dir, f"{i:02d}.png") for i in range(len(names))
+        ]
+        return _load_images(paths, self.height, self.width)
 
     def __iter__(self) -> Iterator[EpisodeSample]:
         for i in range(len(self)):

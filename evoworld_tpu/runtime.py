@@ -1,0 +1,104 @@
+"""Runtime assembly: build models/pipelines from config, loading converted
+checkpoints when available.
+
+Checkpoint layout expected (converted or HF-format): a pipeline directory
+with `unet/`, `vae/`, `image_encoder/` subfolders containing
+`*.safetensors` files in diffusers/transformers naming — the same layout the
+reference's `from_pretrained` consumes (navigator_evoworld.py:103-119); the
+converters in `models.weights` transpose them into our trees on load.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from evoworld_tpu.config import EvoWorldConfig
+from evoworld_tpu.diffusion.pipeline import PanoDiffusionPipeline, make_random_pipeline
+from evoworld_tpu.models.clip import CLIPVisionTower
+from evoworld_tpu.models.unet import UNetSpatioTemporal
+from evoworld_tpu.models.vae import AutoencoderKLTemporal
+from evoworld_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[name]
+
+
+def _load_safetensors_dir(path: str) -> Optional[dict]:
+    from evoworld_tpu.models.weights import load_safetensors
+
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        return None
+    state: dict = {}
+    for f in files:
+        state.update(load_safetensors(f))
+    return state
+
+
+def build_pipeline(config: EvoWorldConfig) -> PanoDiffusionPipeline:
+    """Build the diffusion pipeline, converting a checkpoint when given."""
+    rt = config.runtime
+    dtype = _dtype(rt.compute_dtype)
+    ckpt = rt.checkpoint_dir or rt.svd_checkpoint
+
+    if ckpt and os.path.isdir(ckpt):
+        from evoworld_tpu.models.weights import (
+            convert_clip_state_dict,
+            convert_unet_state_dict,
+            convert_vae_state_dict,
+        )
+
+        logger.info(f"Loading checkpoint from {ckpt}")
+        unet_sd = _load_safetensors_dir(os.path.join(ckpt, "unet"))
+        vae_sd = _load_safetensors_dir(os.path.join(ckpt, "vae"))
+        clip_sd = _load_safetensors_dir(os.path.join(ckpt, "image_encoder"))
+        if unet_sd and vae_sd and clip_sd:
+            cast = lambda tree: jax.tree.map(lambda x: jnp.asarray(x, dtype), tree)
+            params = {
+                "unet": cast(convert_unet_state_dict(unet_sd)),
+                "vae": cast(convert_vae_state_dict(vae_sd)),
+                "clip": cast(convert_clip_state_dict(clip_sd)),
+            }
+            return PanoDiffusionPipeline(
+                UNetSpatioTemporal(), AutoencoderKLTemporal(), CLIPVisionTower(),
+                params, config.pipeline, dtype,
+            )
+        logger.warning(f"checkpoint dir {ckpt} incomplete; falling back")
+
+    if not rt.allow_random_weights:
+        raise FileNotFoundError(
+            f"no usable checkpoint at {ckpt!r} and runtime.allow_random_weights=false"
+        )
+    logger.warning("Building pipeline with RANDOM weights (no checkpoint found)")
+    return make_random_pipeline(config.pipeline, compute_dtype=dtype, zero_init=False, seed=config.runtime.seed)
+
+
+def build_reconstructor(config: EvoWorldConfig):
+    """Build the VGGT reconstructor callable (random weights if no ckpt)."""
+    from evoworld_tpu.models.vggt import VGGT, VGGTConfig
+    from evoworld_tpu.models.vggt.model import make_reconstructor
+    from evoworld_tpu.models.vggt.aggregator import AggregatorConfig
+
+    rt = config.runtime
+    dtype = _dtype(rt.compute_dtype)
+    # TODO(weights): VGGT .pt conversion lands with the torch checkpoint
+    # reader; random weights keep the full loop executable end to end.
+    if rt.vggt_checkpoint and os.path.exists(rt.vggt_checkpoint):
+        logger.info(f"Loading VGGT from {rt.vggt_checkpoint}")
+        raise NotImplementedError("VGGT torch checkpoint conversion: see models/weights.py")
+    if not rt.allow_random_weights:
+        raise FileNotFoundError("no VGGT checkpoint and allow_random_weights=false")
+    logger.warning("Building VGGT with RANDOM weights")
+    model = VGGT(VGGTConfig())
+    sample = jnp.zeros((1, 2, 126, 518, 3), dtype)
+    params = jax.jit(model.init)(jax.random.key(rt.seed), sample)
+    params = jax.tree.map(lambda x: x.astype(dtype), params)
+    return make_reconstructor(model, params, dtype)

@@ -1,0 +1,53 @@
+"""Tracing and phase timing.
+
+The reference has essentially no profiling (SURVEY.md §5.1 — manual VRAM
+printers only); this is the greenfield TPU observability layer: wall-clock
+phase timers that force device sync, and `jax.profiler` trace capture for
+xprof/tensorboard.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+import jax
+
+_PHASE_TOTALS: dict[str, float] = defaultdict(float)
+_PHASE_COUNTS: dict[str, int] = defaultdict(int)
+
+
+@contextlib.contextmanager
+def phase_timer(name: str, sync: bool = True, logger=None):
+    """Time a phase; forces completion of pending device work on exit."""
+    t0 = time.perf_counter()
+    yield
+    if sync:
+        try:
+            jax.effects_barrier()
+        except Exception:
+            pass
+    dt = time.perf_counter() - t0
+    _PHASE_TOTALS[name] += dt
+    _PHASE_COUNTS[name] += 1
+    if logger is not None:
+        logger.info(f"[{name}] {dt * 1e3:.1f} ms")
+
+
+def phase_report() -> dict[str, dict]:
+    return {
+        k: {"total_s": _PHASE_TOTALS[k], "count": _PHASE_COUNTS[k],
+            "mean_ms": 1e3 * _PHASE_TOTALS[k] / max(_PHASE_COUNTS[k], 1)}
+        for k in _PHASE_TOTALS
+    }
+
+
+@contextlib.contextmanager
+def trace_context(log_dir: str | None):
+    """Capture a jax.profiler trace when log_dir is set; no-op otherwise."""
+    if not log_dir:
+        yield
+        return
+    with jax.profiler.trace(log_dir):
+        yield
