@@ -39,6 +39,14 @@ class TrainerConfig:
     log_steps: int = 10
     gradient_accumulation_steps: int = 1
     resume: bool = True
+    use_ema: bool = False
+    ema_decay: float = 0.9999
+
+
+def ema_update(ema_params, params, decay: float):
+    """EMA of the params (reference EMAModel, train_evoworld.py:226-231,
+    :727-729 — swapped in for validation/final export)."""
+    return jax.tree.map(lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema_params, params)
 
 
 class CheckpointManager:
@@ -153,6 +161,8 @@ def train(
     running = 0.0
     t0 = time.time()
     start_step = int(state.step)
+    ema_params = jax.tree.map(lambda x: x, state.params) if trainer_config.use_ema else None
+    ema_fn = jax.jit(ema_update, static_argnums=(2,)) if trainer_config.use_ema else None
     for step in range(start_step, trainer_config.max_steps):
         loss_acc = 0.0
         for _ in range(accum):
@@ -160,6 +170,8 @@ def train(
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, batch, sub)
             loss_acc += float(metrics["loss"]) / accum
+        if ema_fn is not None:
+            ema_params = ema_fn(ema_params, state.params, trainer_config.ema_decay)
         running += loss_acc
 
         if (step + 1) % trainer_config.log_steps == 0:
@@ -175,6 +187,11 @@ def train(
             logger.info(f"checkpoint saved at step {step + 1}")
 
         if validation_fn is not None and (step + 1) % trainer_config.validation_steps == 0:
-            validation_fn(state, step + 1)
+            validation_fn(
+                dataclasses.replace(state, params=ema_params) if ema_params is not None else state,
+                step + 1,
+            )
 
+    if ema_params is not None:
+        return dataclasses.replace(state, params=ema_params)
     return state

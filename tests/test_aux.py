@@ -1,0 +1,134 @@
+"""Tests for auxiliary components: path splitting, data engine, sky
+heuristic, exports, video, config overrides, checkpoint manager."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TestPathSplitting:
+    def test_split_path_at_rotation_changes(self):
+        from evoworld_tpu.loop.navigator import split_path_into_segments
+
+        path = np.zeros((10, 6), np.float32)
+        path[:, 2] = np.arange(10)
+        path[5:, 4] = 90.0  # yaw change at step 5
+        segments = split_path_into_segments(path)
+        assert len(segments) == 2
+        assert len(segments[0]) == 5
+        # Bridge pose: previous position with the new rotation.
+        assert segments[1][0][2] == 4.0 and segments[1][0][4] == 90.0
+
+    def test_extend_segment(self):
+        from evoworld_tpu.loop.navigator import extend_segment
+
+        seg = np.zeros((3, 6), np.float32)
+        seg[:, 2] = [0, 1, 2]
+        out = extend_segment(seg, 6)
+        assert out.shape == (6, 6)
+        np.testing.assert_allclose(out[:, 2], [0, 1, 2, 3, 4, 5])
+
+
+class TestDataEngine:
+    def test_unity_cube_roundtrip_structure(self):
+        from evoworld_tpu.data.engine import unity_cubes_to_pano
+
+        faces = jnp.stack([jnp.full((32, 32, 3), i / 5.0) for i in range(6)])
+        pano = np.asarray(unity_cubes_to_pano(faces, 64, 128))
+        assert pano.shape == (64, 128, 3)
+        # All six face values should appear in the panorama.
+        vals = set(np.round(np.unique(pano), 2).tolist())
+        assert len(vals) == 6, vals
+
+
+class TestSkySeg:
+    def test_heuristic_masks_bright_smooth_top(self):
+        from evoworld_tpu.memory.skyseg import sky_mask_heuristic
+
+        img = np.zeros((40, 40, 3), np.float32)
+        img[:16] = [0.6, 0.7, 0.9]       # bright smooth blueish top = sky
+        img[24:] = np.random.default_rng(0).uniform(0, 0.4, (16, 40, 3))
+        mask = np.asarray(sky_mask_heuristic(jnp.asarray(img)))
+        assert (mask[2:14] == 0).mean() > 0.8    # sky rows masked
+        assert (mask[25:] == 255).mean() > 0.9   # ground kept
+
+
+class TestExports:
+    def test_ply_obj_roundtrip(self, tmp_path):
+        from evoworld_tpu.memory.export import save_obj, save_ply
+
+        pts = np.random.default_rng(0).normal(size=(10, 3)).astype(np.float32)
+        cols = np.random.default_rng(1).uniform(size=(10, 3)).astype(np.float32)
+        ply = tmp_path / "c.ply"
+        save_ply(pts, cols, str(ply))
+        text = ply.read_text()
+        assert "element vertex 10" in text
+        obj = tmp_path / "c.obj"
+        save_obj(pts, cols, str(obj))
+        assert len(obj.read_text().splitlines()) == 10
+
+    def test_video_export(self, tmp_path):
+        from evoworld_tpu.utils.video import export_gif, side_by_side
+
+        frames = np.random.default_rng(0).uniform(size=(4, 16, 32, 3)).astype(np.float32)
+        gif = tmp_path / "v.gif"
+        export_gif(frames, str(gif))
+        assert gif.stat().st_size > 0
+        sbs = side_by_side(frames, frames)
+        assert sbs.shape == (4, 16, 64, 3)
+
+
+class TestConfig:
+    def test_dotted_overrides(self):
+        from evoworld_tpu.config import EvoWorldConfig, apply_overrides
+
+        cfg = apply_overrides(
+            EvoWorldConfig(),
+            ["--pipeline.num_steps=7", "--runtime.seed", "9",
+             "--data.single_episode=false", "--train.learning_rate=2e-5"],
+        )
+        assert cfg.pipeline.num_steps == 7
+        assert cfg.runtime.seed == 9
+        assert cfg.data.single_episode is False
+        assert cfg.train.learning_rate == 2e-5
+
+    def test_unknown_field_rejected(self):
+        import pytest
+
+        from evoworld_tpu.config import EvoWorldConfig, apply_overrides
+
+        with pytest.raises(SystemExit):
+            apply_overrides(EvoWorldConfig(), ["--pipeline.bogus=1"])
+
+
+class TestCheckpointManager:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from evoworld_tpu.train.train_step import TrainState
+        from evoworld_tpu.train.trainer import CheckpointManager
+
+        params = {"w": jnp.arange(8.0), "b": jnp.ones((2, 2))}
+        opt_state = {"m": jnp.zeros(8)}
+        state = TrainState(params, opt_state, jnp.asarray(3, jnp.int32))
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+        mgr.save(3, state)
+        assert mgr.latest_step() == 3
+        zero = TrainState(
+            jax.tree.map(jnp.zeros_like, params),
+            jax.tree.map(jnp.zeros_like, opt_state),
+            jnp.asarray(0, jnp.int32),
+        )
+        restored = mgr.restore(3, zero)
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(8.0))
+        assert int(restored.step) == 3
+
+
+class TestEMA:
+    def test_ema_update_moves_toward_params(self):
+        from evoworld_tpu.train.trainer import ema_update
+
+        ema = {"w": jnp.zeros(4)}
+        params = {"w": jnp.ones(4)}
+        out = ema_update(ema, params, 0.9)
+        np.testing.assert_allclose(np.asarray(out["w"]), 0.1, atol=1e-6)
