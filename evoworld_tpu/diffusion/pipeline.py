@@ -97,7 +97,13 @@ class PanoDiffusionPipeline:
         self.config = config
         self.compute_dtype = compute_dtype
         self.mesh = mesh
-        self._generate = jax.jit(self._generate_impl)
+        # Three staged jits instead of one mega-program: peak HBM is the max
+        # of the stages rather than their union, and a failure localizes to a
+        # stage. Dispatch overhead (2 extra launches per clip) is noise next
+        # to 25 UNet forwards.
+        self._encode = jax.jit(self._encode_impl)
+        self._denoise = jax.jit(self._denoise_impl)
+        self._decode = jax.jit(self._decode_impl)
 
     def _shard_frames(self, x: jnp.ndarray, axis: int) -> jnp.ndarray:
         """Constrain `axis` of x to the mesh's data axis (no-op without mesh)."""
@@ -142,10 +148,12 @@ class PanoDiffusionPipeline:
                 (self.config.num_frames, self.config.latent_height, self.config.latent_width, 4),
                 jnp.float32,
             )
-        return self._generate(self.params, image, plucker, memory_frames, mask_flag, latents, rng)
+        context_cfg, cond_cfg = self._encode(self.params, image, plucker, memory_frames, mask_flag, rng)
+        denoised = self._denoise(self.params, latents, context_cfg, cond_cfg)
+        return self._decode(self.params, denoised)
 
     # ------------------------------------------------------------------
-    def _generate_impl(self, params, image, plucker, memory_frames, mask_flag, init_noise, rng):
+    def _encode_impl(self, params, image, plucker, memory_frames, mask_flag, rng):
         cfg = self.config
         dtype = self.compute_dtype
         f = cfg.num_frames
@@ -187,6 +195,13 @@ class PanoDiffusionPipeline:
         cond = jnp.concatenate([first_lat, mem_lat, plucker_hwc], axis=-1)     # (F, h, w, 14)
         uncond = jnp.concatenate([jnp.zeros_like(first_lat), jnp.zeros_like(mem_lat), plucker_hwc], -1)
         cond_cfg = jnp.stack([uncond, cond], axis=0)                           # (2, F, h, w, 14)
+        return context_cfg, cond_cfg
+
+    # ------------------------------------------------------------------
+    def _denoise_impl(self, params, init_noise, context_cfg, cond_cfg):
+        cfg = self.config
+        dtype = self.compute_dtype
+        f = cfg.num_frames
 
         # --- micro-conditioning ---------------------------------------
         time_ids = jnp.asarray(
@@ -222,6 +237,13 @@ class PanoDiffusionPipeline:
 
         sig_pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=-1)
         latents, _ = jax.lax.scan(step, latents, sig_pairs)
+        return latents
+
+    # ------------------------------------------------------------------
+    def _decode_impl(self, params, latents):
+        cfg = self.config
+        dtype = self.compute_dtype
+        f = cfg.num_frames
 
         # --- chunked temporal decode ----------------------------------
         chunk = cfg.decode_chunk

@@ -22,6 +22,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None, process_id: Optional[int] = None) -> None:
+    """Multi-host initialization (one controller process per host).
+
+    Replaces the reference's accelerate/DeepSpeed launcher + NCCL rendezvous
+    (config/deepspeed_o1_4gpu.yaml main_process_port etc., SURVEY.md §2.5):
+    on TPU pods `jax.distributed.initialize()` discovers everything from the
+    environment; args are only needed off-TPU.
+    """
+    kwargs = {}
+    if coordinator:
+        kwargs = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     devices: Optional[Sequence] = None,
     data: Optional[int] = None,
