@@ -68,14 +68,33 @@ def main(argv=None):
         "num_videos": int(gen.shape[0]),
     }
 
-    # Pixel-space Frechet distance as a stand-in signal until I3D weights are
-    # converted (fvd key then switches to I3D features).
-    feats_gen = gen.reshape(gen.shape[0] * n_frames, -1)[:, ::997]
-    feats_gt = gt.reshape(gt.shape[0] * n_frames, -1)[:, ::997]
-    try:
-        scores["pixel_frechet"] = frechet_distance(feats_gen, feats_gt)
-    except Exception as exc:  # singular covariance on tiny sets
-        logger.warning(f"frechet failed: {exc}")
+    # FVD over I3D features. Without converted I3D weights the random-init
+    # feature space is still fixed (seed 0), so values are comparable across
+    # our own runs — hence the _uncalibrated suffix; exact parity with the
+    # reference's styleganv FVD lands with the converted weights.
+    if gen.shape[0] >= 2:
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            from evoworld_tpu.eval.feature_nets import InceptionI3D, i3d_preprocess
+
+            i3d = InceptionI3D()
+            var = i3d.init(jax.random.key(0), jnp.zeros((1, 8, 32, 32, 3)))
+            feat_fn = jax.jit(lambda v: i3d.apply(var, i3d_preprocess(v)))
+            fg = np.concatenate([np.asarray(feat_fn(jnp.asarray(gen[i : i + 1]))) for i in range(gen.shape[0])])
+            fr = np.concatenate([np.asarray(feat_fn(jnp.asarray(gt[i : i + 1]))) for i in range(gt.shape[0])])
+            scores["fvd_uncalibrated"] = frechet_distance(fg, fr)
+        except Exception as exc:
+            logger.warning(f"fvd failed: {exc}")
+    else:
+        # Pixel-space Frechet stand-in for single-video runs.
+        feats_gen = gen.reshape(gen.shape[0] * n_frames, -1)[:, ::997]
+        feats_gt = gt.reshape(gt.shape[0] * n_frames, -1)[:, ::997]
+        try:
+            scores["pixel_frechet"] = frechet_distance(feats_gen, feats_gt)
+        except Exception as exc:
+            logger.warning(f"frechet failed: {exc}")
 
     out_path = os.path.join(root, "eval_score.json")
     with open(out_path, "w") as f:
