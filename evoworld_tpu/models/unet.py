@@ -55,6 +55,9 @@ class UNetConfig:
     transformer_layers_per_block: int = 1
     # down/up block types: index 0..2 cross-attn, 3 plain (reference order).
     cross_attn_blocks: Tuple[bool, ...] = (True, True, True, False)
+    # Rematerialize res/transformer blocks during the backward pass
+    # (reference enable_gradient_checkpointing, train_evoworld.py:271-272).
+    remat: bool = False
 
 
 class CrossAttnBlockSpatioTemporal(nn.Module):
@@ -138,9 +141,10 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
 
     @nn.compact
     def __call__(self, x, skips, temb, context, num_frames, image_only_indicator):
+        # `skips`: tuple of num_layers arrays, consumed in order.
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = jnp.concatenate([x, skips[i]], axis=-1)
             x = SpatioTemporalResBlock(self.out_channels, name=f"resnets_{i}")(
                 x, temb, num_frames, image_only_indicator
             )
@@ -159,8 +163,9 @@ class UpBlockSpatioTemporal(nn.Module):
 
     @nn.compact
     def __call__(self, x, skips, temb, num_frames, image_only_indicator):
+        # `skips`: tuple of num_layers arrays, consumed in order.
         for i in range(self.num_layers):
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = jnp.concatenate([x, skips[i]], axis=-1)
             x = SpatioTemporalResBlock(self.out_channels, name=f"resnets_{i}")(
                 x, temb, num_frames, image_only_indicator
             )
@@ -214,12 +219,23 @@ class UNetSpatioTemporal(nn.Module):
         x = sample.reshape((batch * num_frames,) + sample.shape[2:])
         x = nn.Conv(ch0, (3, 3), padding=1, name="conv_in", dtype=compute_dtype)(x)
 
+        if cfg.remat:
+            cross_down = nn.remat(CrossAttnBlockSpatioTemporal, static_argnums=(4,))
+            plain_down = nn.remat(DownBlockSpatioTemporal, static_argnums=(3,))
+            mid_cls = nn.remat(MidBlockSpatioTemporal, static_argnums=(4,))
+            cross_up = nn.remat(CrossAttnUpBlockSpatioTemporal, static_argnums=(5,))
+            plain_up = nn.remat(UpBlockSpatioTemporal, static_argnums=(4,))
+        else:
+            cross_down, plain_down = CrossAttnBlockSpatioTemporal, DownBlockSpatioTemporal
+            mid_cls = MidBlockSpatioTemporal
+            cross_up, plain_up = CrossAttnUpBlockSpatioTemporal, UpBlockSpatioTemporal
+
         skips = [x]
         num_blocks = len(cfg.block_out_channels)
         for i, out_ch in enumerate(cfg.block_out_channels):
             is_last = i == num_blocks - 1
             if cfg.cross_attn_blocks[i]:
-                x, s = CrossAttnBlockSpatioTemporal(
+                x, s = cross_down(
                     out_ch,
                     cfg.num_attention_heads[i],
                     cfg.layers_per_block,
@@ -228,7 +244,7 @@ class UNetSpatioTemporal(nn.Module):
                     name=f"down_blocks_{i}",
                 )(x, emb, context, num_frames, image_only_indicator)
             else:
-                x, s = DownBlockSpatioTemporal(
+                x, s = plain_down(
                     out_ch,
                     cfg.layers_per_block,
                     add_downsample=not is_last,
@@ -236,7 +252,7 @@ class UNetSpatioTemporal(nn.Module):
                 )(x, emb, num_frames, image_only_indicator)
             skips.extend(s)
 
-        x = MidBlockSpatioTemporal(
+        x = mid_cls(
             cfg.block_out_channels[-1],
             cfg.num_attention_heads[-1],
             cfg.cross_attention_dim,
@@ -247,22 +263,24 @@ class UNetSpatioTemporal(nn.Module):
             level = num_blocks - 1 - i
             out_ch = cfg.block_out_channels[level]
             is_last = i == num_blocks - 1
+            n_layers = cfg.layers_per_block + 1
+            block_skips = tuple(skips.pop() for _ in range(n_layers))
             if cfg.cross_attn_blocks[level]:
-                x = CrossAttnUpBlockSpatioTemporal(
+                x = cross_up(
                     out_ch,
                     cfg.num_attention_heads[level],
-                    cfg.layers_per_block + 1,
+                    n_layers,
                     cfg.cross_attention_dim,
                     add_upsample=not is_last,
                     name=f"up_blocks_{i}",
-                )(x, skips, emb, context, num_frames, image_only_indicator)
+                )(x, block_skips, emb, context, num_frames, image_only_indicator)
             else:
-                x = UpBlockSpatioTemporal(
+                x = plain_up(
                     out_ch,
-                    cfg.layers_per_block + 1,
+                    n_layers,
                     add_upsample=not is_last,
                     name=f"up_blocks_{i}",
-                )(x, skips, emb, num_frames, image_only_indicator)
+                )(x, block_skips, emb, num_frames, image_only_indicator)
 
         x = GroupNorm(epsilon=1e-5, name="conv_norm_out")(x)
         x = nn.silu(x)
