@@ -63,7 +63,7 @@ def main(argv=None):
             start = seg_id * (config.pipeline.num_frames - 1)
             save_frames(frames, os.path.join(ep_dir, f"predictions_{seg_id}"), start)
             s, e, _ = calculate_segment_indices(seg_id, config.loop.num_target_view)
-            gt = sample.pixel_values[s - 1 if seg_id else 0 : e - 1]
+            gt = sample.pixel_values[s - 1 : e - 1] if seg_id else sample.pixel_values[0:e]
             save_frames(
                 frames_from_minus1_1(gt[1:] if seg_id else gt),
                 os.path.join(ep_dir, f"predictions_gt_{seg_id}"), start,

@@ -57,6 +57,32 @@ def main(argv=None):
         output_dir=rt.save_dir,
         max_steps=config.train.total_steps,
     )
+
+    # Validation: render a clip on the first episode and save a GT|generated
+    # side-by-side GIF (reference train_evoworld.py:771-875).
+    def validation_fn(state, step):
+        import numpy as np
+
+        from evoworld_tpu.loop.navigator import Navigator
+        from evoworld_tpu.utils.video import export_gif, side_by_side
+
+        pipeline.params = {**pipeline.params, "unet": state.params}
+        navigator = Navigator(pipeline, num_frames=config.pipeline.num_frames)
+        sample = dataset[0]
+        frames = navigator.generate_segment(
+            sample.cam_traj,
+            jnp.asarray(sample.pixel_values[0]),
+            jnp.asarray(sample.memory_values[: config.pipeline.num_frames]),
+            jax.random.key(rt.seed),
+            use_memory=True,
+        )
+        gt = np.clip(sample.pixel_values[: frames.shape[0]] / 2 + 0.5, 0, 1)
+        import os
+
+        out = os.path.join(rt.save_dir, f"validation_{step:06d}.gif")
+        export_gif(side_by_side(gt, np.asarray(frames)), out)
+        logger.info(f"validation gif: {out}")
+
     state = train(
         pipeline.unet,
         pipeline.vae,
@@ -69,6 +95,7 @@ def main(argv=None):
         mesh=mesh,
         batch_size=max(1, n_dev if mesh is not None else 1),
         compute_dtype=_dtype(rt.compute_dtype),
+        validation_fn=validation_fn,
     )
     logger.info(f"training done at step {int(state.step)}")
 

@@ -35,11 +35,13 @@ class DataConfig:
 class RuntimeConfig:
     seed: int = 42
     compute_dtype: str = "bfloat16"
+    model_preset: str = "full"  # "full" | "tiny" (smoke runs without weights)
     mesh_data: int = 0          # 0 -> all devices on the data axis
     mesh_model: int = 1
     checkpoint_dir: Optional[str] = None      # converted-weights dir
     svd_checkpoint: Optional[str] = None      # HF-format SVD pipeline dir
     vggt_checkpoint: Optional[str] = None
+    vggt_tiny: bool = False  # small random VGGT (CPU demos / smoke runs)
     allow_random_weights: bool = True
     save_dir: str = "outputs"
     profile: bool = False

@@ -177,7 +177,14 @@ class UnifiedLoop:
 
         for segment_id in range(cfg.num_segments):
             start_idx, end_idx, _ = calculate_segment_indices(segment_id, cfg.num_target_view)
-            segment = scaled_traj[start_idx - 1 if segment_id else 0 : end_idx - 1]
+            # Pose rows are 1-based for segment_id > 0; segment 0's start_idx
+            # is already 0-based (reference pano_to_pers_utils.py:5-14), so
+            # its slice keeps all num_frames poses.
+            segment = (
+                scaled_traj[start_idx - 1 : end_idx - 1]
+                if segment_id
+                else scaled_traj[0:end_idx]
+            )
             rng, sub = jax.random.split(rng)
             frames = self.navigator.generate_segment(
                 segment, current, memory_frames, sub, use_memory=segment_id > 0

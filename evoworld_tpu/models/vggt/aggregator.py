@@ -35,6 +35,9 @@ class AggregatorConfig:
     qk_norm: bool = True
     layerscale_init: float = 0.01
     output_layers: Tuple[int, ...] = (4, 11, 17, 23)
+    # Canonical patch grid the positional embedding is stored at (518/14 = 37
+    # per side); bilinearly interpolated to the input's grid like DINOv2.
+    base_patch_hw: Tuple[int, int] = (37, 37)
     # Per-frame DINOv2-style ViT encoder applied before the alternating
     # attention (upstream uses a full DINOv2 ViT-L as patch_embed).
     patch_encoder_depth: int = 24
@@ -97,9 +100,14 @@ class Aggregator(nn.Module):
             strides=(cfg.patch_size, cfg.patch_size),
             padding="VALID", name="patch_embed", dtype=images.dtype,
         )(x).reshape(b * s, num_patches, d)
+        import jax
+
+        bh, bw = cfg.base_patch_hw
         pos = self.param(
-            "pos_embed", nn.initializers.normal(0.02), (num_patches, d), jnp.float32
+            "pos_embed", nn.initializers.normal(0.02), (bh * bw, d), jnp.float32
         )
+        if (ph, pw) != (bh, bw):
+            pos = jax.image.resize(pos.reshape(bh, bw, d), (ph, pw, d), "bilinear").reshape(ph * pw, d)
         patches = patches + pos.astype(patches.dtype)[None]
 
         # Frame-local ViT encoder (DINOv2 role): runs on (B*S, P, C).

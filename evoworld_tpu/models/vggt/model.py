@@ -101,8 +101,11 @@ def load_and_preprocess_images(images: np.ndarray, target_width: int = 518) -> j
     """
     import jax.image
 
+    # Integer inputs rescale to [0, 1]; float inputs are assumed [0, 1]
+    # already (a traced value's range cannot drive Python control flow).
+    rescale = np.issubdtype(np.asarray(images).dtype if not hasattr(images, "dtype") else images.dtype, np.integer)
     arr = jnp.asarray(images, jnp.float32)
-    if arr.max() > 1.5:
+    if rescale:
         arr = arr / 255.0
     s, h, w, _ = arr.shape
     new_w = target_width

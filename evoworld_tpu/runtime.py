@@ -77,6 +77,20 @@ def build_pipeline(config: EvoWorldConfig) -> PanoDiffusionPipeline:
         raise FileNotFoundError(
             f"no usable checkpoint at {ckpt!r} and runtime.allow_random_weights=false"
         )
+    if rt.model_preset == "tiny":
+        from evoworld_tpu.models.clip import CLIPVisionConfig
+        from evoworld_tpu.models.unet import UNetConfig
+        from evoworld_tpu.models.vae import VAEConfig
+
+        logger.warning("Building TINY random pipeline (smoke mode)")
+        return make_random_pipeline(
+            config.pipeline,
+            unet_config=UNetConfig(block_out_channels=(32, 64, 128, 128), num_attention_heads=(2, 4, 8, 8)),
+            vae_config=VAEConfig(block_out_channels=(32, 64, 128, 128)),
+            clip_config=CLIPVisionConfig(hidden_size=64, num_layers=2, num_heads=4, mlp_dim=128),
+            compute_dtype=dtype,
+            seed=rt.seed,
+        )
     logger.warning("Building pipeline with RANDOM weights (no checkpoint found)")
     return make_random_pipeline(config.pipeline, compute_dtype=dtype, zero_init=False, seed=config.runtime.seed)
 
@@ -96,8 +110,19 @@ def build_reconstructor(config: EvoWorldConfig):
         raise NotImplementedError("VGGT torch checkpoint conversion: see models/weights.py")
     if not rt.allow_random_weights:
         raise FileNotFoundError("no VGGT checkpoint and allow_random_weights=false")
-    logger.warning("Building VGGT with RANDOM weights")
-    model = VGGT(VGGTConfig())
+    if rt.vggt_tiny:
+        logger.warning("Building TINY random VGGT (smoke mode)")
+        # The DPT heads tap 4 layers, so even the tiny aggregator keeps depth 4.
+        config_ = VGGTConfig(
+            aggregator=AggregatorConfig(
+                embed_dim=64, depth=4, num_heads=4, num_register_tokens=2,
+                output_layers=(0, 1, 2, 3), patch_encoder_depth=1,
+            )
+        )
+    else:
+        logger.warning("Building VGGT with RANDOM weights")
+        config_ = VGGTConfig()
+    model = VGGT(config_)
     sample = jnp.zeros((1, 2, 126, 518, 3), dtype)
     params = jax.jit(model.init)(jax.random.key(rt.seed), sample)
     params = jax.tree.map(lambda x: x.astype(dtype), params)

@@ -192,6 +192,9 @@ def train(
                 step + 1,
             )
 
+    if int(state.step) > start_step:
+        ckpt.save(int(state.step), state)
+        logger.info(f"final checkpoint saved at step {int(state.step)}")
     if ema_params is not None:
         return dataclasses.replace(state, params=ema_params)
     return state
