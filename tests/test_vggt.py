@@ -1,0 +1,76 @@
+"""VGGT model + geometry tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evoworld_tpu.models.vggt import (
+    VGGT,
+    VGGTConfig,
+    pose_encoding_to_extri_intri,
+    quat_to_rotmat,
+    unproject_depth_map_to_point_map,
+)
+from evoworld_tpu.models.vggt.aggregator import AggregatorConfig
+
+TINY = VGGTConfig(
+    aggregator=AggregatorConfig(
+        embed_dim=64, depth=4, num_heads=4, num_register_tokens=2,
+        output_layers=(0, 1, 2, 3), patch_encoder_depth=1,
+    )
+)
+
+
+class TestVGGT:
+    def test_contract_keys_and_shapes(self):
+        model = VGGT(TINY)
+        imgs = jnp.zeros((1, 3, 56, 70, 3))
+        params = model.init(jax.random.key(0), imgs)
+        preds = model.apply(params, imgs)
+        assert preds["pose_enc"].shape == (1, 3, 9)
+        assert preds["depth"].shape == (1, 3, 56, 70, 1)
+        assert preds["depth_conf"].shape == (1, 3, 56, 70)
+        assert preds["world_points"].shape == (1, 3, 56, 70, 3)
+        assert float(preds["depth"].min()) > 0  # positive depth activation
+        assert float(preds["depth_conf"].min()) >= 1.0
+
+    def test_resolution_generalization(self):
+        """Pos-embed interpolation: params init at one size, apply at another."""
+        model = VGGT(TINY)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 2, 56, 70, 3)))
+        preds = model.apply(params, jnp.zeros((1, 2, 28, 42, 3)))
+        assert preds["depth"].shape == (1, 2, 28, 42, 1)
+
+
+class TestVGGTGeometry:
+    def test_quat_identity(self):
+        r = np.asarray(quat_to_rotmat(jnp.asarray([0.0, 0.0, 0.0, 1.0])))
+        np.testing.assert_allclose(r, np.eye(3), atol=1e-6)
+
+    def test_pose_encoding_roundtrip(self):
+        # Identity rotation, translation t, 90-degree fovs.
+        enc = jnp.asarray([[1.0, 2.0, 3.0, 0, 0, 0, 1, np.pi / 2, np.pi / 2]])
+        ex, intr = pose_encoding_to_extri_intri(enc, (64, 128))
+        np.testing.assert_allclose(np.asarray(ex[0, :, :3]), np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ex[0, :, 3]), [1, 2, 3], atol=1e-6)
+        # fx = (W/2)/tan(45deg) = 64.
+        assert abs(float(intr[0, 0, 0]) - 64.0) < 1e-3
+        assert abs(float(intr[0, 1, 1]) - 32.0) < 1e-3
+
+    def test_unprojection_identity_camera(self):
+        depth = jnp.full((1, 8, 8), 2.0)
+        ex = jnp.eye(4)[None, :3, :]
+        intr = jnp.asarray([[[4.0, 0, 4.0], [0, 4.0, 4.0], [0, 0, 1]]])
+        pts = np.asarray(unproject_depth_map_to_point_map(depth, ex, intr))
+        # Center pixel (4,4) maps to (0, 0, 2).
+        np.testing.assert_allclose(pts[0, 4, 4], [0, 0, 2], atol=1e-5)
+        # All z == depth for identity extrinsics.
+        np.testing.assert_allclose(pts[0, :, :, 2], 2.0, atol=1e-5)
+
+
+class TestVGGTConverter:
+    def test_report_on_empty_source(self):
+        from evoworld_tpu.models.vggt.weights import convert_vggt_state_dict
+
+        params, report = convert_vggt_state_dict({})
+        assert report  # everything missing is reported, not silently dropped
