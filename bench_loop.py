@@ -1,0 +1,74 @@
+"""Secondary benchmark: the 3-clip evolving-memory loop at full scale.
+
+Measures the per-segment cost of the full pipeline including the memory
+rebuild (perspective extraction -> VGGT -> alignment -> splat render), i.e.
+BASELINE.md's 3-clip metric. Prints one JSON line per phase plus a summary
+line. The primary driver benchmark stays bench.py (single-clip).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    small = "--small" in sys.argv
+    from evoworld_tpu.config import EvoWorldConfig, apply_overrides
+    from evoworld_tpu.loop.navigator import Navigator
+    from evoworld_tpu.loop.unified import UnifiedLoop
+    from evoworld_tpu.runtime import build_pipeline, build_reconstructor
+
+    overrides = ["--runtime.save_dir=/tmp/bench_loop"]
+    if small:
+        overrides += [
+            "--pipeline.height=64", "--pipeline.width=128",
+            "--pipeline.num_frames=5", "--pipeline.num_steps=2",
+            "--pipeline.decode_chunk=5", "--pipeline.encode_chunk=2",
+            "--loop.num_frames=5", "--loop.num_target_view=4",
+            "--loop.pers_height=28", "--loop.pers_width=42",
+            "--runtime.model_preset=tiny", "--runtime.vggt_tiny=true",
+            "--runtime.compute_dtype=float32",
+        ]
+    config = apply_overrides(EvoWorldConfig(), overrides)
+
+    pipeline = build_pipeline(config)
+    navigator = Navigator(pipeline, num_frames=config.pipeline.num_frames)
+    reconstructor = build_reconstructor(config)
+    loop = UnifiedLoop(navigator, reconstructor, config.loop)
+
+    f = config.pipeline.num_frames
+    h, w = config.pipeline.height, config.pipeline.width
+    n_poses = 3 * (f - 1) + f + 8
+    poses = np.zeros((n_poses, 6), np.float32)
+    poses[:, 2] = np.arange(n_poses) * 0.4
+    start = jnp.zeros((h, w, 3), jnp.float32)
+
+    t0 = time.time()
+    out = loop.run_episode(start, poses * 0.1, poses, jax.random.key(0))
+    jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32).ravel()[:1])), out["segments"][-1])
+    first = time.time() - t0
+    print(f"# 3-segment first run (incl. compile): {first:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    out = loop.run_episode(start, poses * 0.1, poses, jax.random.key(1))
+    float(jnp.sum(out["segments"][-1].astype(jnp.float32).ravel()[:1]))
+    total = time.time() - t0
+
+    per_clip = total / config.loop.num_segments
+    print(json.dumps({
+        "metric": f"sec_per_clip_3seg_loop_{w}x{h}x{f}" + ("_small" if small else ""),
+        "value": round(per_clip, 3),
+        "unit": "s/clip",
+        "vs_baseline": round(per_clip / 60.0, 4),
+        "total_3seg_s": round(total, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
