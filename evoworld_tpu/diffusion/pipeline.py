@@ -291,14 +291,25 @@ def make_random_pipeline(
     key = jax.random.key(seed)
     k1, k2, k3 = jax.random.split(key, 3)
 
+    import numpy as np
+
+    host_rng = np.random.default_rng(seed)
+
     def init_or_zeros(fn):
+        # Shapes via eval_shape; values host-side. Device-side flax init of a
+        # 1.5B tree is a pathological compile on remote backends, and random
+        # weights only need to be deterministic, not distribution-faithful.
+        shapes = jax.eval_shape(fn, jax.random.key(0))
         if zero_init:
-            shapes = jax.eval_shape(fn, jax.random.key(0))
             # Store in compute dtype: a full fp32 1.5B-param tree alone is
             # 6 GB of HBM — inference keeps everything in bf16.
             return jax.tree.map(lambda s: jnp.zeros(s.shape, compute_dtype), shapes)
-        params = fn(key)
-        return jax.tree.map(lambda x: x.astype(compute_dtype), params)
+
+        def leaf(s):
+            scale = 0.02 if len(s.shape) >= 2 else 1e-3
+            return jnp.asarray(host_rng.standard_normal(s.shape, dtype=np.float32) * scale, compute_dtype)
+
+        return jax.tree.map(leaf, shapes)
 
     unet_params = init_or_zeros(
         lambda k: unet.init(

@@ -124,6 +124,21 @@ def build_reconstructor(config: EvoWorldConfig):
         config_ = VGGTConfig()
     model = VGGT(config_)
     sample = jnp.zeros((1, 2, 126, 518, 3), dtype)
-    params = jax.jit(model.init)(jax.random.key(rt.seed), sample)
-    params = jax.tree.map(lambda x: x.astype(dtype), params)
+    if rt.vggt_tiny:
+        params = model.init(jax.random.key(rt.seed), sample)
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+    else:
+        # Full 1B random init is a pathological compile (thousands of RNG
+        # ops); without real weights the values are arbitrary anyway — use
+        # cheap deterministic pseudo-random leaves built host-side.
+        shapes = jax.eval_shape(lambda k: model.init(k, sample), jax.random.key(0))
+        import numpy as np
+
+        rng = np.random.default_rng(rt.seed)
+
+        def leaf(s):
+            scale = 0.02 if len(s.shape) >= 2 else 1e-3
+            return jnp.asarray(rng.standard_normal(s.shape, dtype=np.float32) * scale, dtype)
+
+        params = jax.tree.map(leaf, shapes)
     return make_reconstructor(model, params, dtype)
