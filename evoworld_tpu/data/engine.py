@@ -63,3 +63,19 @@ def unity_cubes_to_pano(faces: jnp.ndarray, height: int, width: int) -> jnp.ndar
     u_px = jnp.clip((u * (face_size - 1)).astype(jnp.int32), 0, face_size - 1)
     v_px = jnp.clip(((1.0 - v) * (face_size - 1)).astype(jnp.int32), 0, face_size - 1)
     return faces[face, v_px, u_px]
+
+
+def ue_cubes_to_pano(faces: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Unreal Engine capture variant (reference
+    cube_to_pano_batched_io_UE.py:10-18,145): top/bottom faces arrive rotated
+    180 degrees and the panorama longitude is shifted by pi relative to the
+    Unity convention.
+
+    Args:
+        faces: (6, S, S, 3) in FACE_ORDER, raw (unrotated) UE captures.
+    """
+    fixed = faces.at[2].set(jnp.rot90(faces[2], 2, axes=(0, 1)))  # bottom
+    fixed = fixed.at[3].set(jnp.rot90(faces[3], 2, axes=(0, 1)))  # top
+    pano = unity_cubes_to_pano(fixed, height, width)
+    # lon_UE = lon_unity + pi -> half-width roll of the panorama.
+    return jnp.roll(pano, width // 2, axis=1)
