@@ -43,11 +43,26 @@ def _load_safetensors_dir(path: str) -> Optional[dict]:
     return state
 
 
+def _inference_mesh(rt):
+    """Frame-sharding mesh for multi-chip inference (None on one device)."""
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    from evoworld_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(model=rt.mesh_model or 1)
+
+
 def build_pipeline(config: EvoWorldConfig) -> PanoDiffusionPipeline:
-    """Build the diffusion pipeline, converting a checkpoint when given."""
+    """Build the diffusion pipeline, converting a checkpoint when given.
+
+    On a multi-device runtime the pipeline shards the denoise loop's frame
+    axis over the mesh's data axis automatically.
+    """
     rt = config.runtime
     dtype = _dtype(rt.compute_dtype)
     ckpt = rt.checkpoint_dir or rt.svd_checkpoint
+    mesh = _inference_mesh(rt)
 
     if ckpt and os.path.isdir(ckpt):
         from evoworld_tpu.models.weights import (
@@ -69,7 +84,7 @@ def build_pipeline(config: EvoWorldConfig) -> PanoDiffusionPipeline:
             }
             return PanoDiffusionPipeline(
                 UNetSpatioTemporal(), AutoencoderKLTemporal(), CLIPVisionTower(),
-                params, config.pipeline, dtype,
+                params, config.pipeline, dtype, mesh=mesh,
             )
         logger.warning(f"checkpoint dir {ckpt} incomplete; falling back")
 
@@ -90,9 +105,10 @@ def build_pipeline(config: EvoWorldConfig) -> PanoDiffusionPipeline:
             clip_config=CLIPVisionConfig(hidden_size=64, num_layers=2, num_heads=4, mlp_dim=128),
             compute_dtype=dtype,
             seed=rt.seed,
+            mesh=mesh,
         )
     logger.warning("Building pipeline with RANDOM weights (no checkpoint found)")
-    return make_random_pipeline(config.pipeline, compute_dtype=dtype, zero_init=False, seed=config.runtime.seed)
+    return make_random_pipeline(config.pipeline, compute_dtype=dtype, zero_init=False, seed=config.runtime.seed, mesh=mesh)
 
 
 def build_reconstructor(config: EvoWorldConfig):
