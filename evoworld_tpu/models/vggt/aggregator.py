@@ -76,6 +76,51 @@ class ViTBlock(nn.Module):
         return x + h * ls2.astype(x.dtype)
 
 
+class AlternatingPair(nn.Module):
+    """One aggregator step: frame-local attention then global attention.
+
+    Written as a scan body: 24 of these run under `nn.scan`, which keeps the
+    compiled program one block long (the unrolled 48-block HLO is too large
+    for remote compilation and needlessly slow to compile anywhere).
+    """
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    qk_norm: bool
+    layerscale_init: float
+    batch: int
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, _):
+        bs, t, d = tokens.shape
+        tokens = ViTBlock(
+            self.dim, self.num_heads, self.mlp_ratio, self.qk_norm,
+            self.layerscale_init, name="frame",
+        )(tokens)
+        glob = tokens.reshape(self.batch, (bs // self.batch) * t, d)
+        glob = ViTBlock(
+            self.dim, self.num_heads, self.mlp_ratio, self.qk_norm,
+            self.layerscale_init, name="global",
+        )(glob)
+        tokens = glob.reshape(bs, t, d)
+        return tokens, tokens
+
+
+class DinoBlock(nn.Module):
+    """Scan body for the frame-local patch encoder."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, _):
+        out = ViTBlock(self.dim, self.num_heads, self.mlp_ratio, qk_norm=False,
+                       layerscale_init=1.0, name="block")(tokens)
+        return out, ()
+
+
 class Aggregator(nn.Module):
     """(B, S, H, W, 3) normalized images -> per-layer token stacks.
 
@@ -110,12 +155,16 @@ class Aggregator(nn.Module):
             pos = jax.image.resize(pos.reshape(bh, bw, d), (ph, pw, d), "bilinear").reshape(ph * pw, d)
         patches = patches + pos.astype(patches.dtype)[None]
 
-        # Frame-local ViT encoder (DINOv2 role): runs on (B*S, P, C).
-        for i in range(cfg.patch_encoder_depth):
-            patches = ViTBlock(
-                d, cfg.num_heads, cfg.mlp_ratio, qk_norm=False, layerscale_init=1.0,
-                name=f"dino_blocks_{i}",
-            )(patches)
+        # Frame-local ViT encoder (DINOv2 role): runs on (B*S, P, C),
+        # scanned over depth (params stacked on a leading layer axis).
+        if cfg.patch_encoder_depth > 0:
+            dino_scan = nn.scan(
+                DinoBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.patch_encoder_depth,
+            )
+            patches, _ = dino_scan(d, cfg.num_heads, cfg.mlp_ratio, name="dino_blocks")(patches, None)
 
         # Camera + register tokens; frame 0 (the query frame) gets its own
         # set so the model can identify the reference view.
@@ -139,20 +188,19 @@ class Aggregator(nn.Module):
         tokens = jnp.concatenate([special, patches], axis=1)   # (B*S, T, d)
         t = tokens.shape[1]
 
-        outputs: List[jnp.ndarray] = []
-        want = set(cfg.output_layers)
-        for i in range(cfg.depth):
-            tokens = ViTBlock(
-                d, cfg.num_heads, cfg.mlp_ratio, cfg.qk_norm, cfg.layerscale_init,
-                name=f"frame_blocks_{i}",
-            )(tokens)
-            glob = tokens.reshape(b, s * t, d)
-            glob = ViTBlock(
-                d, cfg.num_heads, cfg.mlp_ratio, cfg.qk_norm, cfg.layerscale_init,
-                name=f"global_blocks_{i}",
-            )(glob)
-            tokens = glob.reshape(b * s, t, d)
-            if i in want or i == cfg.depth - 1:
-                outputs.append(tokens.reshape(b, s, t, d))
-
+        pair_scan = nn.scan(
+            AlternatingPair,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.depth,
+        )
+        _, per_layer = pair_scan(
+            d, cfg.num_heads, cfg.mlp_ratio, cfg.qk_norm, cfg.layerscale_init, b,
+            name="blocks",
+        )(tokens, None)
+        # per_layer: (depth, B*S, T, d) — select the DPT tap layers + final.
+        wanted = list(cfg.output_layers)
+        if cfg.depth - 1 not in wanted:
+            wanted = wanted + [cfg.depth - 1]
+        outputs = [per_layer[i].reshape(b, s, t, d) for i in wanted]
         return outputs, (ph, pw)

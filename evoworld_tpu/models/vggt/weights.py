@@ -67,15 +67,36 @@ def convert_vggt_state_dict(src: Mapping[str, np.ndarray]) -> Tuple[dict, list]:
     put(f"{agg}.camera_token", f"{agg}/camera_token", lambda v: v.reshape(-1, v.shape[-1])[:1])
     put(f"{agg}.register_token", f"{agg}/register_token", lambda v: v.reshape(-1, v.shape[-1]))
 
-    i = 0
-    while f"{agg}.patch_embed.blocks.{i}.norm1.weight" in src:
-        _vit_block(src, f"{agg}.patch_embed.blocks.{i}", out, f"{agg}/dino_blocks_{i}", report)
-        i += 1
-    i = 0
-    while f"{agg}.frame_blocks.{i}.norm1.weight" in src:
-        _vit_block(src, f"{agg}.frame_blocks.{i}", out, f"{agg}/frame_blocks_{i}", report)
-        _vit_block(src, f"{agg}.global_blocks.{i}", out, f"{agg}/global_blocks_{i}", report)
-        i += 1
+    # Scanned blocks: per-layer weights stack on a leading layer axis
+    # (aggregator blocks run under nn.scan).
+    def stacked(src_prefix_fmt: str, dst: str) -> None:
+        layers = []
+        i = 0
+        while f"{src_prefix_fmt.format(i)}.norm1.weight" in src:
+            layer: dict = {}
+            _vit_block(src, src_prefix_fmt.format(i), layer, "x", report)
+            layers.append(layer.get("x", {}))
+            i += 1
+        if not layers:
+            report.append(f"missing all layers for {src_prefix_fmt}")
+            return
+
+        def stack(trees, path):
+            first = trees[0]
+            if isinstance(first, dict):
+                return {k: stack([t[k] for t in trees], path + "/" + k) for k in first}
+            return np.stack(trees)
+
+        _set(out, dst, None)  # placeholder replaced below
+        node = out
+        keys = dst.split("/")
+        for k in keys[:-1]:
+            node = node[k]
+        node[keys[-1]] = stack(layers, dst)
+
+    stacked(agg + ".patch_embed.blocks.{}", f"{agg}/dino_blocks/block")
+    stacked(agg + ".frame_blocks.{}", f"{agg}/blocks/frame")
+    stacked(agg + ".global_blocks.{}", f"{agg}/blocks/global")
 
     # Heads: trunk blocks + projections (upstream camera_head.trunk.*).
     i = 0
