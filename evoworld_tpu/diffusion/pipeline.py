@@ -22,7 +22,6 @@ axes). Latent math runs in fp32, model compute in bf16.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional
 
 import jax

@@ -14,7 +14,6 @@ takes (N, 3, T, H, W)); LPIPS takes (N, H, W, 3) in [-1, 1].
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Everything stays as device arrays — the reference's PIL round-trips
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

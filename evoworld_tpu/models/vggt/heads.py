@@ -13,7 +13,7 @@ API from call sites, SURVEY.md §2.9):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

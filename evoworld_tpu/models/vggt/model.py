@@ -17,7 +17,7 @@ of 14) and the geometry decoders in `vggt.geometry`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

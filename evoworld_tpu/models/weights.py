@@ -25,7 +25,7 @@ unit-tested against randomly initialized torch-layout dicts.
 
 from __future__ import annotations
 
-from typing import Callable, Mapping
+from typing import Mapping
 
 import numpy as np
 

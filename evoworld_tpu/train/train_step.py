@@ -25,7 +25,7 @@ GSPMD; there is no explicit collective code (SURVEY.md §2.5).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
