@@ -117,12 +117,20 @@ class UnifiedLoop:
     ) -> jnp.ndarray:
         """Run reconstruction on generated frames and render next-segment
         memory panoramas. Returns (num_target_view, H, W, 3) in [0, 1]."""
+        from evoworld_tpu.utils.profiling import phase_timer
+        from evoworld_tpu.utils.logging import get_logger
+
+        logger = get_logger()
         assert self.reconstructor is not None, "no reconstructor injected"
         cfg = self.config
         _, end_idx, _ = calculate_segment_indices(segment_id, cfg.num_target_view)
 
-        pers, target_yaws = self.panos_to_perspectives(all_frames, camera_params, segment_id)
-        preds = self.reconstructor(pers)
+        with phase_timer(f"pers_extract_s{segment_id}", logger=logger):
+            pers, target_yaws = self.panos_to_perspectives(all_frames, camera_params, segment_id)
+            pers.block_until_ready()
+        with phase_timer(f"reconstruct_s{segment_id}", logger=logger):
+            preds = self.reconstructor(pers)
+            jax.block_until_ready(preds)
 
         # Update yaw column with the look-at yaws (reference :455-459).
         temp_cam = camera_params.copy()
@@ -143,7 +151,10 @@ class UnifiedLoop:
         valid = confidence_mask(conf, cfg.conf_percentile).reshape(-1)
 
         height, width = all_frames.shape[1], all_frames.shape[2]
-        return render_memory_panoramas(points, colors, valid, target_c2w, height, width)
+        with phase_timer(f"splat_render_s{segment_id}", logger=logger):
+            out = render_memory_panoramas(points, colors, valid, target_c2w, height, width)
+            out.block_until_ready()
+        return out
 
     # -- reference process_episode (:398-492) --------------------------
     def run_episode(
@@ -186,9 +197,14 @@ class UnifiedLoop:
                 else scaled_traj[0:end_idx]
             )
             rng, sub = jax.random.split(rng)
-            frames = self.navigator.generate_segment(
-                segment, current, memory_frames, sub, use_memory=segment_id > 0
-            )
+            from evoworld_tpu.utils.logging import get_logger
+            from evoworld_tpu.utils.profiling import phase_timer
+
+            with phase_timer(f"generate_s{segment_id}", logger=get_logger()):
+                frames = self.navigator.generate_segment(
+                    segment, current, memory_frames, sub, use_memory=segment_id > 0
+                )
+                frames.block_until_ready()
             new_frames = frames[1:] if segment_id > 0 else frames
             segments_out.append(new_frames)
             all_frames = new_frames if all_frames is None else jnp.concatenate([all_frames, new_frames], 0)

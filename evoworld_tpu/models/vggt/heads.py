@@ -44,17 +44,30 @@ class CameraHead(nn.Module):
 
         pose = jnp.zeros((b, s, self.out_dim), jnp.float32)
         embed = nn.Dense(self.dim, name="pose_embed", dtype=tokens.dtype)
-        trunk = [
-            ViTBlock(self.dim, self.num_heads, 4.0, True, 0.01, name=f"trunk_{i}")
-            for i in range(self.trunk_depth)
-        ]
+
+        # Trunk scanned over depth; refinement iterations scanned too (same
+        # weights each iteration) — the compiled body contains ONE ViT block
+        # instead of trunk_depth * num_iters copies.
+        class TrunkStep(nn.Module):
+            dim: int
+            num_heads: int
+
+            @nn.compact
+            def __call__(self, h, _):
+                return ViTBlock(self.dim, self.num_heads, 4.0, True, 0.01, name="block")(h), ()
+
+        trunk = nn.scan(
+            TrunkStep,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.trunk_depth,
+        )(self.dim, self.num_heads, name="trunk")
         norm = nn.LayerNorm(dtype=jnp.float32, name="trunk_norm")
         out_proj = nn.Dense(self.out_dim, name="pose_out", dtype=tokens.dtype)
 
         for _ in range(self.num_iters):
             h = tokens + embed(pose.astype(tokens.dtype))
-            for blk in trunk:
-                h = blk(h)
+            h, _ = trunk(h, None)
             h = norm(h.astype(jnp.float32)).astype(tokens.dtype)
             pose = pose + out_proj(h).astype(jnp.float32)
         # Initialize quaternion w-component toward identity rotation.
