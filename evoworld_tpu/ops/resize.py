@@ -68,5 +68,48 @@ def resize_antialiased(images: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndar
     kx += 1 - kx % 2
     if factor_h > 1.0 or factor_w > 1.0:
         images = gaussian_blur2d(images, (ky, kx), (sigma_h, sigma_w))
-    out_shape = (images.shape[0], oh, ow, images.shape[3])
-    return jax.image.resize(images, out_shape, method="cubic")
+    return _bicubic_align_corners(images, (oh, ow))
+
+
+def _cubic_kernel(t, a: float = -0.75):
+    """Keys cubic convolution kernel (torch bicubic's a = -0.75)."""
+    import numpy as np
+
+    t = np.abs(t)
+    out = np.where(
+        t <= 1.0,
+        (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0,
+        np.where(t < 2.0, a * t**3 - 5.0 * a * t**2 + 8.0 * a * t - 4.0 * a, 0.0),
+    )
+    return out
+
+
+def _resize_matrix(n_in: int, n_out: int):
+    """(n_out, n_in) bicubic interpolation weights, align_corners=True
+    (matching torch F.interpolate(mode="bicubic", align_corners=True), the
+    reference's convention)."""
+    import numpy as np
+
+    if n_out == 1:
+        pos = np.zeros((1,))
+    else:
+        pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    base = np.floor(pos).astype(int)
+    frac = pos - base
+    w = np.zeros((n_out, n_in), np.float32)
+    for k in range(-1, 3):
+        idx = np.clip(base + k, 0, n_in - 1)
+        w[np.arange(n_out), idx] += _cubic_kernel(k - frac).astype(np.float32)
+    return w
+
+
+def _bicubic_align_corners(images: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Separable align-corners bicubic resize via two small matmuls."""
+    h, w = images.shape[1], images.shape[2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return images
+    wh = jnp.asarray(_resize_matrix(h, oh), images.dtype)
+    ww = jnp.asarray(_resize_matrix(w, ow), images.dtype)
+    x = jnp.einsum("oh,nhwc->nowc", wh, images, precision="highest")
+    return jnp.einsum("pw,nowc->nopc", ww, x, precision="highest")
