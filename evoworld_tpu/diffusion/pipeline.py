@@ -290,9 +290,7 @@ def make_random_pipeline(
     key = jax.random.key(seed)
     k1, k2, k3 = jax.random.split(key, 3)
 
-    import numpy as np
-
-    host_rng = np.random.default_rng(seed)
+    from evoworld_tpu.models.weights import host_random_params
 
     def init_or_zeros(fn):
         # Shapes via eval_shape; values host-side. Device-side flax init of a
@@ -303,12 +301,7 @@ def make_random_pipeline(
             # Store in compute dtype: a full fp32 1.5B-param tree alone is
             # 6 GB of HBM — inference keeps everything in bf16.
             return jax.tree.map(lambda s: jnp.zeros(s.shape, compute_dtype), shapes)
-
-        def leaf(s):
-            scale = 0.02 if len(s.shape) >= 2 else 1e-3
-            return jnp.asarray(host_rng.standard_normal(s.shape, dtype=np.float32) * scale, compute_dtype)
-
-        return jax.tree.map(leaf, shapes)
+        return host_random_params(shapes, seed, compute_dtype)
 
     unet_params = init_or_zeros(
         lambda k: unet.init(

@@ -344,3 +344,34 @@ def verify_tree_matches(converted: dict, reference_shapes, path="") -> list[str]
 
     walk(converted, reference_shapes, path)
     return problems
+
+
+def host_random_params(shapes, seed: int, dtype):
+    """Deterministic host-side pseudo-random init for smoke/bench runs.
+
+    Device-side flax init of billion-parameter trees is a pathological
+    compile on remote backends. This respects parameter roles by path
+    (norm scales/alpha-blend factors -> their neutral values, biases -> 0,
+    kernels -> fan-in-scaled normal) so random models still propagate signal.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+
+    def leaf(path, s):
+        name = str(getattr(path[-1], "key", path[-1])) if path else ""
+        shape = tuple(s.shape)
+        if name == "scale":
+            return jnp.ones(shape, dtype)
+        if name == "mix_factor":
+            return jnp.full(shape, 0.5, dtype)
+        if name in ("bias", "class_embedding"):
+            return jnp.zeros(shape, dtype)
+        if len(shape) >= 2:
+            fan_in = int(np.prod(shape[:-1]))
+            std = float(np.sqrt(1.0 / max(fan_in, 1)))
+            return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * std, dtype)
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * 0.02, dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, shapes)

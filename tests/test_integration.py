@@ -68,3 +68,30 @@ class TestEndToEnd:
         d1 = tiny_pipeline._denoise(tiny_pipeline.params, n1, ctx, cond)
         d2 = tiny_pipeline._denoise(tiny_pipeline.params, n2, ctx, cond)
         assert not np.allclose(np.asarray(d1), np.asarray(d2))
+
+
+class TestConditioningSemantics:
+    def test_mask_mem_blocks_memory_influence(self, tiny_pipeline):
+        """With mask_mem=True the memory frames must not affect the output
+        (reference zeroes image_latents[:, 1:], pipeline_evoworld.py:629-631)."""
+        img = jnp.zeros((64, 128, 3))
+        plk = jnp.zeros((5, 6, 8, 16))
+        mem_a = jnp.zeros((5, 64, 128, 3))
+        mem_b = jnp.ones((5, 64, 128, 3)) * 0.7
+        noise = jax.random.normal(jax.random.key(3), (5, 8, 16, 4))
+        # Same rng so the cond-frame noise augmentation matches.
+        a = tiny_pipeline(img, plk, mem_a, jax.random.key(9), mask_mem=True, latents=noise)
+        b = tiny_pipeline(img, plk, mem_b, jax.random.key(9), mask_mem=True, latents=noise)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_memory_influences_when_unmasked(self, tiny_pipeline):
+        img = jnp.zeros((64, 128, 3))
+        plk = jnp.zeros((5, 6, 8, 16))
+        mem_a = jnp.zeros((5, 64, 128, 3))
+        mem_b = jnp.ones((5, 64, 128, 3)) * 0.7
+        noise = jax.random.normal(jax.random.key(3), (5, 8, 16, 4))
+        ca, conda = tiny_pipeline._encode(tiny_pipeline.params, img, plk, mem_a, jnp.asarray(0.0), jax.random.key(9))
+        cb, condb = tiny_pipeline._encode(tiny_pipeline.params, img, plk, mem_b, jnp.asarray(0.0), jax.random.key(9))
+        da = tiny_pipeline._denoise(tiny_pipeline.params, noise, ca, conda)
+        db = tiny_pipeline._denoise(tiny_pipeline.params, noise, cb, condb)
+        assert not np.allclose(np.asarray(da), np.asarray(db), atol=1e-5)
