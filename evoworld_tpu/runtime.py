@@ -146,15 +146,9 @@ def build_reconstructor(config: EvoWorldConfig):
     else:
         # Full 1B random init is a pathological compile (thousands of RNG
         # ops); without real weights the values are arbitrary anyway — use
-        # cheap deterministic pseudo-random leaves built host-side.
+        # cheap deterministic role-aware leaves built host-side.
+        from evoworld_tpu.models.weights import host_random_params
+
         shapes = jax.eval_shape(lambda k: model.init(k, sample), jax.random.key(0))
-        import numpy as np
-
-        rng = np.random.default_rng(rt.seed)
-
-        def leaf(s):
-            scale = 0.02 if len(s.shape) >= 2 else 1e-3
-            return jnp.asarray(rng.standard_normal(s.shape, dtype=np.float32) * scale, dtype)
-
-        params = jax.tree.map(leaf, shapes)
+        params = host_random_params(shapes, rt.seed, dtype)
     return make_reconstructor(model, params, dtype)
