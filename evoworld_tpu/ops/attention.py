@@ -38,7 +38,7 @@ def _builtin_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float)
 
     def pick(seq):
         # Largest tile dividing the sequence (the kernel requires exact tiling).
-        for b in (512, 256, 128):
+        for b in (1024, 512, 256, 128):
             if seq % b == 0:
                 return b
         return None
