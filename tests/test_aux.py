@@ -132,3 +132,59 @@ class TestEMA:
         params = {"w": jnp.ones(4)}
         out = ema_update(ema, params, 0.9)
         np.testing.assert_allclose(np.asarray(out["w"]), 0.1, atol=1e-6)
+
+
+class TestNavigatePath:
+    def test_straight_path_with_rotation(self):
+        """navigate_path(curve=False) rotates the carried pano at segment
+        boundaries and generates per segment."""
+        import jax
+        from evoworld_tpu.diffusion.pipeline import PipelineConfig, make_random_pipeline
+        from evoworld_tpu.models.unet import UNetConfig
+        from evoworld_tpu.models.vae import VAEConfig
+        from evoworld_tpu.models.clip import CLIPVisionConfig
+        from evoworld_tpu.loop.navigator import Navigator
+
+        cfg = PipelineConfig(height=64, width=128, num_frames=4, num_steps=1,
+                             decode_chunk=4, encode_chunk=5)
+        pipe = make_random_pipeline(
+            cfg,
+            unet_config=UNetConfig(block_out_channels=(32, 64, 128, 128), num_attention_heads=(2, 4, 8, 8)),
+            vae_config=VAEConfig(block_out_channels=(32, 64, 128, 128)),
+            clip_config=CLIPVisionConfig(hidden_size=64, num_layers=2, num_heads=4, mlp_dim=128),
+            compute_dtype=jnp.float32,
+        )
+        nav = Navigator(pipe, num_frames=4)
+        path = np.zeros((8, 6), np.float32)
+        path[:, 2] = np.arange(8)
+        path[4:, 4] = 90.0  # rotation change -> 2 segments in straight mode
+        mem = jnp.zeros((4, 64, 128, 3))
+        gens = nav.navigate_path(path, jnp.zeros((64, 128, 3)), mem, jax.random.key(0), curve=False)
+        assert len(gens) == 2
+        for g in gens:
+            assert g.shape == (4, 64, 128, 3)
+            assert np.isfinite(np.asarray(g)).all()
+
+
+class TestTrainerBatches:
+    def test_episode_batches_shapes(self, example_episode):
+        from evoworld_tpu.data.dataset import EpisodeDataset
+        from evoworld_tpu.train.trainer import episode_batches
+
+        ds = EpisodeDataset(example_episode, height=64, width=128,
+                            sequence_length=5, single_episode=True)
+        batch = next(episode_batches(ds, batch_size=2, latent_hw=(8, 16)))
+        assert batch["pixel_values"].shape == (2, 5, 64, 128, 3)
+        assert batch["plucker"].shape == (2, 5, 8, 16, 6)
+        assert batch["memory_values"].shape == (2, 5, 64, 128, 3)
+
+
+class TestCLIHelp:
+    def test_help_exits_zero(self):
+        import pytest as _pytest
+
+        from evoworld_tpu.cli.common import parse_config
+
+        with _pytest.raises(SystemExit) as e:
+            parse_config(["--help"])
+        assert e.value.code == 0
