@@ -234,21 +234,53 @@ def make_sharded_train_step(
     config: TrainConfig,
     mesh=None,
     compute_dtype=jnp.bfloat16,
+    accum_steps: int = 1,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
 
     Returns step(state, batch, rng) -> (state, metrics). When `mesh` is given
     the batch is sharded over the "data" axis and gradients are averaged by
     GSPMD-inserted collectives.
+
+    With accum_steps > 1 the batch leaves carry a leading micro-batch axis
+    (accum, B, ...); gradients are averaged over the micro-batches inside a
+    `lax.scan` and the optimizer is applied ONCE per global step — the
+    reference's `accelerator.accumulate` semantics
+    (train_evoworld.py:525, --gradient_accumulation_steps 4 in train.sh:20).
     """
 
-    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
-        def loss_fn(params):
+    def value_and_grads(params, batch, rng):
+        def loss_fn(p):
             return edm_loss(
-                unet, vae, clip_tower, params, frozen_params, batch, rng, config, compute_dtype
+                unet, vae, clip_tower, p, frozen_params, batch, rng, config, compute_dtype
             )
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return jax.value_and_grad(loss_fn)(params)
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        if accum_steps == 1:
+            loss, grads = value_and_grads(state.params, batch, rng)
+        else:
+            keys = jax.random.split(rng, accum_steps)
+
+            def body(carry, xs):
+                loss_sum, grad_sum = carry
+                micro_batch, key = xs
+                loss, grads = value_and_grads(state.params, micro_batch, key)
+                grad_sum = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), grad_sum, grads
+                )
+                return (loss_sum + loss, grad_sum), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (loss_sum, grad_sum), _ = jax.lax.scan(body, (0.0, zeros), (batch, keys))
+            loss = loss_sum / accum_steps
+            grads = jax.tree.map(
+                lambda g, p: (g / accum_steps).astype(p.dtype), grad_sum, state.params
+            )
+
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)
@@ -260,7 +292,8 @@ def make_sharded_train_step(
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    batch_sharding = NamedSharding(mesh, P("data"))
+    batch_spec = P(None, "data") if accum_steps > 1 else P("data")
+    batch_sharding = NamedSharding(mesh, batch_spec)
     repl = NamedSharding(mesh, P())
     batch_shardings = {
         "pixel_values": batch_sharding,

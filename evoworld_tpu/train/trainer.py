@@ -148,8 +148,10 @@ def train(
         logger.info(f"Resuming from checkpoint step {step0}")
         state = ckpt.restore(step0, state)
 
+    accum = trainer_config.gradient_accumulation_steps
     step_fn = make_sharded_train_step(
-        unet, vae, clip_tower, frozen_params, optimizer, config, mesh, compute_dtype
+        unet, vae, clip_tower, frozen_params, optimizer, config, mesh, compute_dtype,
+        accum_steps=accum,
     )
 
     h = dataset.height // 8
@@ -157,19 +159,22 @@ def train(
     batches = episode_batches(dataset, batch_size, (h, w))
     rng = jax.random.key(0)
 
-    accum = trainer_config.gradient_accumulation_steps
     running = 0.0
     t0 = time.time()
     start_step = int(state.step)
     ema_params = jax.tree.map(lambda x: x, state.params) if trainer_config.use_ema else None
     ema_fn = jax.jit(ema_update, static_argnums=(2,)) if trainer_config.use_ema else None
     for step in range(start_step, trainer_config.max_steps):
-        loss_acc = 0.0
-        for _ in range(accum):
+        if accum == 1:
             batch = next(batches)
-            rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, sub)
-            loss_acc += float(metrics["loss"]) / accum
+        else:
+            # Stack micro-batches on a leading axis; grads are averaged
+            # inside the jitted step and the optimizer applied once.
+            micro = [next(batches) for _ in range(accum)]
+            batch = jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        loss_acc = float(metrics["loss"])
         if ema_fn is not None:
             ema_params = ema_fn(ema_params, state.params, trainer_config.ema_decay)
         running += loss_acc

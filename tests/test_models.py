@@ -137,6 +137,67 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["loss"]))
         assert int(state.step) == 1
 
+    def test_grad_accumulation_matches_averaged_grads(self):
+        """accum_steps=N must equal one optimizer update on the N-microbatch
+        grad average (reference accelerator.accumulate semantics,
+        train_evoworld.py:525)."""
+        from evoworld_tpu.models.clip import CLIPVisionTower
+        from evoworld_tpu.train.train_step import (
+            TrainConfig, TrainState, edm_loss, make_optimizer, make_sharded_train_step,
+        )
+
+        unet = UNetSpatioTemporal(TINY_UNET)
+        vae = AutoencoderKLTemporal(TINY_VAE)
+        clip_tower = CLIPVisionTower(TINY_CLIP)
+        key = jax.random.key(0)
+        f, h, w = 2, 64, 128
+        unet_params = unet.init(key, jnp.zeros((1, f, 8, 16, 18)), jnp.asarray(1.0), jnp.zeros((1, 1, 1024)), jnp.zeros((1, 3)))
+        frozen = {
+            "vae": vae.init(key, jnp.zeros((1, h, w, 3)), 1),
+            "clip": clip_tower.init(key, jnp.zeros((1, 224, 224, 3))),
+        }
+        config = TrainConfig(total_steps=10, warmup_steps=1)
+        opt = make_optimizer(config, unet_params)
+        state = TrainState(unet_params, opt.init(unet_params), jnp.zeros((), jnp.int32))
+
+        rng = np.random.default_rng(3)
+        micro = [
+            {
+                "pixel_values": jnp.asarray(rng.uniform(-1, 1, (1, f, h, w, 3)), jnp.float32),
+                "memory_values": jnp.asarray(rng.uniform(-1, 1, (1, f, h, w, 3)), jnp.float32),
+                "plucker": jnp.asarray(rng.normal(size=(1, f, 8, 16, 6)), jnp.float32),
+            }
+            for _ in range(2)
+        ]
+        step_rng = jax.random.key(9)
+
+        # Manual reference first (the jitted step donates + deletes `state`):
+        # average per-microbatch grads, single optimizer update.
+        import optax
+        keys = jax.random.split(step_rng, 2)
+        grads = [
+            jax.grad(lambda p, mb=mb, k=k: edm_loss(
+                unet, vae, clip_tower, p, frozen, mb, k, config, jnp.float32
+            ))(state.params)
+            for mb, k in zip(micro, keys)
+        ]
+        mean_grads = jax.tree.map(lambda a, b: (a + b) / 2.0, *grads)
+        updates, _ = opt.update(mean_grads, state.opt_state, state.params)
+        want_params = optax.apply_updates(state.params, updates)
+        jax.block_until_ready(want_params)
+
+        # Accumulating step: stacked micro-batches, one update.
+        step = make_sharded_train_step(
+            unet, vae, clip_tower, frozen, opt, config,
+            compute_dtype=jnp.float32, accum_steps=2,
+        )
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
+        new_state, metrics = step(state, stacked, step_rng)
+        assert int(new_state.step) == 1
+
+        for got, want in zip(jax.tree.leaves(new_state.params), jax.tree.leaves(want_params)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
     def test_trainable_mask_semantics(self):
         from evoworld_tpu.train.train_step import trainable_mask
 
