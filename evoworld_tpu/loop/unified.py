@@ -117,7 +117,7 @@ class UnifiedLoop:
     ) -> jnp.ndarray:
         """Run reconstruction on generated frames and render next-segment
         memory panoramas. Returns (num_target_view, H, W, 3) in [0, 1]."""
-        from evoworld_tpu.utils.profiling import phase_timer
+        from evoworld_tpu.utils.profiling import force_sync, phase_timer
         from evoworld_tpu.utils.logging import get_logger
 
         logger = get_logger()
@@ -127,10 +127,10 @@ class UnifiedLoop:
 
         with phase_timer(f"pers_extract_s{segment_id}", logger=logger):
             pers, target_yaws = self.panos_to_perspectives(all_frames, camera_params, segment_id)
-            pers.block_until_ready()
+            force_sync(pers)
         with phase_timer(f"reconstruct_s{segment_id}", logger=logger):
             preds = self.reconstructor(pers)
-            jax.block_until_ready(preds)
+            force_sync(preds)
 
         # Update yaw column with the look-at yaws (reference :455-459).
         temp_cam = camera_params.copy()
@@ -153,7 +153,7 @@ class UnifiedLoop:
         height, width = all_frames.shape[1], all_frames.shape[2]
         with phase_timer(f"splat_render_s{segment_id}", logger=logger):
             out = render_memory_panoramas(points, colors, valid, target_c2w, height, width)
-            out.block_until_ready()
+            force_sync(out)
         return out
 
     # -- reference process_episode (:398-492) --------------------------
@@ -198,13 +198,13 @@ class UnifiedLoop:
             )
             rng, sub = jax.random.split(rng)
             from evoworld_tpu.utils.logging import get_logger
-            from evoworld_tpu.utils.profiling import phase_timer
+            from evoworld_tpu.utils.profiling import force_sync, phase_timer
 
             with phase_timer(f"generate_s{segment_id}", logger=get_logger()):
                 frames = self.navigator.generate_segment(
                     segment, current, memory_frames, sub, use_memory=segment_id > 0
                 )
-                frames.block_until_ready()
+                force_sync(frames)
             new_frames = frames[1:] if segment_id > 0 else frames
             segments_out.append(new_frames)
             all_frames = new_frames if all_frames is None else jnp.concatenate([all_frames, new_frames], 0)

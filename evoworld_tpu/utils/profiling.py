@@ -18,6 +18,23 @@ _PHASE_TOTALS: dict[str, float] = defaultdict(float)
 _PHASE_COUNTS: dict[str, int] = defaultdict(int)
 
 
+def force_sync(tree) -> float:
+    """Force completion of the computation producing `tree` via a scalar
+    readback per array leaf.
+
+    `jax.block_until_ready` is a no-op over the remote-TPU tunnel (CLAUDE.md);
+    reading back one reduced scalar is the only reliable sync, and is what
+    bench.py uses for its timings. Returns the summed scalar (cheap checksum).
+    """
+    import jax.numpy as jnp
+
+    total = 0.0
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "dtype") and hasattr(leaf, "sum"):
+            total += float(jnp.sum(jnp.asarray(leaf, jnp.float32)))
+    return total
+
+
 @contextlib.contextmanager
 def phase_timer(name: str, sync: bool = True, logger=None):
     """Time a phase; forces completion of pending device work on exit."""
