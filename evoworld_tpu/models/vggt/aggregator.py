@@ -2,14 +2,23 @@
 
 TPU-native reimplementation of the upstream VGGT-1B aggregator (the
 facebookresearch/vggt submodule is not vendored in the reference — API
-reconstructed from call sites, SURVEY.md §2.9): a DINOv2-style patch embed
-feeds per-frame tokens (camera token + register tokens + patch tokens); 24
-blocks each apply one attention layer within each frame and one across the
-concatenated tokens of all frames. Intermediate outputs feed the DPT heads.
+reconstructed from call sites, SURVEY.md §2.9,
+/root/reference/unified_loop_consistency.py:49-52): a DINOv2-style patch
+embed feeds per-frame tokens (camera token + register tokens + patch
+tokens); 24 block pairs each apply one attention layer within each frame and
+one across the concatenated tokens of all frames. The tapped intermediate
+outputs feed the DPT heads as the CONCATENATION of the frame-wise and global
+block outputs (2*embed_dim channels), matching the upstream head input dims
+so `facebook/VGGT-1B` weights convert directly.
 
-Alternating attention maps naturally onto batching: frame attention runs as
-(B*S, P, C) and global as (B, S*P, C) — both through the same flash-attention
-kernel, no custom masking.
+TPU mapping decisions:
+  - Alternating attention runs as plain batching — frame attention at
+    (B*S, T, C) and global at (B, S*T, C) — through the same flash kernel,
+    no custom masks.
+  - Block pairs run under `nn.scan`, segmented at the DPT tap layers: one
+    scan per segment keeps the compiled program a single block pair long
+    (an unrolled 48-block HLO was too large for remote compilation) while
+    only materializing the 4 tapped activations, not all 24.
 """
 
 from __future__ import annotations
@@ -34,6 +43,9 @@ class AggregatorConfig:
     num_register_tokens: int = 4
     qk_norm: bool = True
     layerscale_init: float = 0.01
+    # Block-pair indices whose (frame ‖ global) outputs feed the DPT heads
+    # (upstream intermediate_layer_idx for VGGT-1B). The last entry must be
+    # depth-1; its output also feeds the camera head.
     output_layers: Tuple[int, ...] = (4, 11, 17, 23)
     # Canonical patch grid the positional embedding is stored at (518/14 = 37
     # per side); bilinearly interpolated to the input's grid like DINOv2.
@@ -79,9 +91,10 @@ class ViTBlock(nn.Module):
 class AlternatingPair(nn.Module):
     """One aggregator step: frame-local attention then global attention.
 
-    Written as a scan body: 24 of these run under `nn.scan`, which keeps the
-    compiled program one block long (the unrolled 48-block HLO is too large
-    for remote compilation and needlessly slow to compile anywhere).
+    Scan body. The carry is (tokens, tap) where `tap` holds the
+    (frame_out ‖ global_out) concatenation of the CURRENT step — after the
+    scan, the carry's tap is the last pair's output (the upstream per-layer
+    intermediate, vggt aggregator concatenates frame+global outputs).
     """
 
     dim: int
@@ -92,19 +105,21 @@ class AlternatingPair(nn.Module):
     batch: int
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray, _):
+    def __call__(self, carry, _):
+        tokens, _unused_tap = carry
         bs, t, d = tokens.shape
-        tokens = ViTBlock(
+        frame_out = ViTBlock(
             self.dim, self.num_heads, self.mlp_ratio, self.qk_norm,
             self.layerscale_init, name="frame",
         )(tokens)
-        glob = tokens.reshape(self.batch, (bs // self.batch) * t, d)
+        glob = frame_out.reshape(self.batch, (bs // self.batch) * t, d)
         glob = ViTBlock(
             self.dim, self.num_heads, self.mlp_ratio, self.qk_norm,
             self.layerscale_init, name="global",
         )(glob)
-        tokens = glob.reshape(bs, t, d)
-        return tokens, tokens
+        global_out = glob.reshape(bs, t, d)
+        tap = jnp.concatenate([frame_out, global_out], axis=-1)
+        return (global_out, tap), ()
 
 
 class DinoBlock(nn.Module):
@@ -125,8 +140,9 @@ class Aggregator(nn.Module):
     """(B, S, H, W, 3) normalized images -> per-layer token stacks.
 
     Returns (outputs, patch_hw) where outputs is a list over
-    config.output_layers of (B, S, T, C) token arrays (T = 1 camera +
-    R register + P patch tokens) plus the final layer output appended.
+    config.output_layers of (B, S, T, 2C) concatenated frame‖global token
+    arrays (T = 1 camera + R register + P patch tokens); the last entry is
+    the final layer's output.
     """
 
     config: AggregatorConfig = AggregatorConfig()
@@ -134,6 +150,9 @@ class Aggregator(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray):
         cfg = self.config
+        assert cfg.output_layers[-1] == cfg.depth - 1, (
+            "last tap must be the final block pair"
+        )
         b, s, height, width, _ = images.shape
         ph, pw = height // cfg.patch_size, width // cfg.patch_size
         num_patches = ph * pw
@@ -156,7 +175,8 @@ class Aggregator(nn.Module):
         patches = patches + pos.astype(patches.dtype)[None]
 
         # Frame-local ViT encoder (DINOv2 role): runs on (B*S, P, C),
-        # scanned over depth (params stacked on a leading layer axis).
+        # scanned over depth (params stacked on a leading layer axis), with
+        # DINOv2's final norm (upstream consumes x_norm_patchtokens).
         if cfg.patch_encoder_depth > 0:
             dino_scan = nn.scan(
                 DinoBlock,
@@ -165,9 +185,14 @@ class Aggregator(nn.Module):
                 length=cfg.patch_encoder_depth,
             )
             patches, _ = dino_scan(d, cfg.num_heads, cfg.mlp_ratio, name="dino_blocks")(patches, None)
+            patches = nn.LayerNorm(dtype=jnp.float32, name="dino_norm")(
+                patches.astype(jnp.float32)
+            ).astype(patches.dtype)
 
         # Camera + register tokens; frame 0 (the query frame) gets its own
-        # set so the model can identify the reference view.
+        # set so the model can identify the reference view (upstream
+        # camera_token/register_token have a leading 2-slot axis:
+        # slot 0 = first frame, slot 1 = all other frames).
         def tok(name, n):
             return self.param(name, nn.initializers.normal(0.02), (n, d), jnp.float32)
 
@@ -188,19 +213,24 @@ class Aggregator(nn.Module):
         tokens = jnp.concatenate([special, patches], axis=1)   # (B*S, T, d)
         t = tokens.shape[1]
 
-        pair_scan = nn.scan(
-            AlternatingPair,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            length=cfg.depth,
-        )
-        _, per_layer = pair_scan(
-            d, cfg.num_heads, cfg.mlp_ratio, cfg.qk_norm, cfg.layerscale_init, b,
-            name="blocks",
-        )(tokens, None)
-        # per_layer: (depth, B*S, T, d) — select the DPT tap layers + final.
-        wanted = list(cfg.output_layers)
-        if cfg.depth - 1 not in wanted:
-            wanted = wanted + [cfg.depth - 1]
-        outputs = [per_layer[i].reshape(b, s, t, d) for i in wanted]
+        # Segmented scans over block pairs: one scan per tap segment. Only
+        # the carry (current tokens + last pair's frame‖global concat) is
+        # materialized — the 4 taps, not all `depth` layers.
+        outputs = []
+        start = 0
+        carry = (tokens, jnp.zeros(tokens.shape[:-1] + (2 * d,), tokens.dtype))
+        for seg_idx, tap_layer in enumerate(cfg.output_layers):
+            seg_len = tap_layer + 1 - start
+            pair_scan = nn.scan(
+                AlternatingPair,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=seg_len,
+            )
+            carry, _ = pair_scan(
+                d, cfg.num_heads, cfg.mlp_ratio, cfg.qk_norm, cfg.layerscale_init, b,
+                name=f"blocks_{seg_idx}",
+            )(carry, None)
+            outputs.append(carry[1].reshape(b, s, t, 2 * d))
+            start = tap_layer + 1
         return outputs, (ph, pw)

@@ -37,6 +37,8 @@ class VGGTConfig:
     aggregator: AggregatorConfig = AggregatorConfig()
     with_point_head: bool = True
     camera_trunk_depth: int = 4
+    dpt_features: int = 256
+    dpt_layer_dims: tuple = (256, 512, 1024, 1024)
 
 
 class VGGT(nn.Module):
@@ -52,20 +54,25 @@ class VGGT(nn.Module):
 
         outputs, patch_hw = Aggregator(cfg.aggregator, name="aggregator")(images)
 
-        cam_tokens = outputs[-1][:, :, 0, :]                   # (B, S, C)
+        # Aggregator taps are (frame ‖ global) concatenations: width 2C.
+        tap_dim = 2 * cfg.aggregator.embed_dim
+        cam_tokens = outputs[-1][:, :, 0, :]                   # (B, S, 2C)
         pose_enc = CameraHead(
-            dim=cfg.aggregator.embed_dim,
+            dim_in=tap_dim,
             trunk_depth=cfg.camera_trunk_depth,
             num_heads=cfg.aggregator.num_heads,
             name="camera_head",
         )(cam_tokens)
 
         layer_tokens = [
-            o[:, :, num_special:, :].reshape(b * s, -1, cfg.aggregator.embed_dim)
+            o[:, :, num_special:, :].reshape(b * s, -1, tap_dim)
             for o in outputs[:4]
         ]
+        dpt_kw = dict(
+            features=cfg.dpt_features, layer_dims=cfg.dpt_layer_dims, dim=tap_dim
+        )
         depth_out = DPTHead(
-            DPTConfig(out_channels=2, dim=cfg.aggregator.embed_dim), name="depth_head"
+            DPTConfig(out_channels=2, **dpt_kw), name="depth_head"
         )(layer_tokens, patch_hw, (height, width))
         depth_out = depth_out.reshape(b, s, height, width, 2).astype(jnp.float32)
         # Positive depth via exp-style activation; conf stays raw + 1 offset
@@ -83,7 +90,7 @@ class VGGT(nn.Module):
 
         if cfg.with_point_head:
             point_out = DPTHead(
-                DPTConfig(out_channels=4, dim=cfg.aggregator.embed_dim), name="point_head"
+                DPTConfig(out_channels=4, **dpt_kw), name="point_head"
             )(layer_tokens, patch_hw, (height, width))
             point_out = point_out.reshape(b, s, height, width, 4).astype(jnp.float32)
             preds["world_points"] = point_out[..., 0:3]

@@ -119,11 +119,20 @@ def build_reconstructor(config: EvoWorldConfig):
 
     rt = config.runtime
     dtype = _dtype(rt.compute_dtype)
-    # TODO(weights): VGGT .pt conversion lands with the torch checkpoint
-    # reader; random weights keep the full loop executable end to end.
     if rt.vggt_checkpoint and os.path.exists(rt.vggt_checkpoint):
+        from evoworld_tpu.models.vggt.weights import load_vggt_torch_checkpoint
+
         logger.info(f"Loading VGGT from {rt.vggt_checkpoint}")
-        raise NotImplementedError("VGGT torch checkpoint conversion: see models/weights.py")
+        params, report = load_vggt_torch_checkpoint(rt.vggt_checkpoint)
+        if report:
+            preview = "; ".join(report[:8])
+            logger.warning(f"VGGT conversion: {len(report)} issues ({preview} ...)")
+            if not rt.allow_random_weights:
+                raise ValueError(
+                    f"VGGT checkpoint {rt.vggt_checkpoint} did not convert cleanly"
+                )
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        return make_reconstructor(VGGT(VGGTConfig()), params, dtype)
     if not rt.allow_random_weights:
         raise FileNotFoundError("no VGGT checkpoint and allow_random_weights=false")
     if rt.vggt_tiny:
