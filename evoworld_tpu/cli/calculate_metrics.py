@@ -3,12 +3,18 @@
 Equivalent of `calculate_metrics.sh` -> `calculate_all_metrics.main`
 (/root/reference/evoworld/metrics/calculate_all_metrics.py:195-227): loads
 the last `num_frames` PNGs of each episode's GT and generated dirs, computes
-PSNR/SSIM (+ FVD when feature weights are available), writes
-`eval_score.json` with per-metric means.
+the full reference metric family — fvd / ssim / psnr / lpips / latent_mse /
+loop_closure_latent_mse — in the reference's result structure, and writes
+`eval_score.json`.
+
+Feature-net weights: pass --runtime.metric_weights_dir=<dir> containing any
+of lpips.pt / inception_v4.pt / i3d.pt (torch state dicts); nets without
+weights run with fixed seed-0 random init and are tagged
+`"weights": "random_seed0"` in the output (comparable across our runs,
+uncalibrated vs the reference harness).
 
 Usage:
   python -m evoworld_tpu.cli.calculate_metrics --data.root=<save_dir> \
-      [--data.reprojection_name unused] \
       --data.sampling=predictions_2:predictions_gt_2
   (the sampling field doubles as "<gen_subdir>:<gt_subdir>")
 """
@@ -22,7 +28,28 @@ import numpy as np
 from PIL import Image
 
 from evoworld_tpu.cli.common import logger, parse_config
-from evoworld_tpu.eval.metrics import batch_video_metrics, frechet_distance
+from evoworld_tpu.eval.harness import FeatureNets, calculate_all_metrics
+from evoworld_tpu.eval.metrics import batch_video_metrics
+
+
+def _load_metric_weights(weights_dir: str) -> dict:
+    """Load torch state dicts for the metric nets, keyed by net name."""
+    out: dict = {}
+    if not weights_dir or not os.path.isdir(weights_dir):
+        return out
+    import torch
+
+    for name in ("lpips", "inception_v4", "i3d"):
+        for ext in (".pt", ".pth"):
+            path = os.path.join(weights_dir, name + ext)
+            if os.path.exists(path):
+                sd = torch.load(path, map_location="cpu", weights_only=True)
+                if isinstance(sd, dict) and "state_dict" in sd:
+                    sd = sd["state_dict"]
+                out[name] = {k: v.float().numpy() for k, v in sd.items()}
+                logger.info(f"loaded metric weights: {path}")
+                break
+    return out
 
 
 def _read_video_dir(path: str, num_frames: int) -> np.ndarray:
@@ -59,48 +86,28 @@ def main(argv=None):
     gt = np.stack([v[-n_frames:] for v in gt])
     logger.info(f"{len(episodes)} episodes, videos {gen.shape}")
 
-    results = batch_video_metrics(gen, gt)
-    scores = {
-        "psnr": results["psnr"],
-        "ssim": results["ssim"],
-        "psnr_per_frame": results["psnr_per_frame"].tolist(),
-        "ssim_per_frame": results["ssim_per_frame"].tolist(),
-        "num_videos": int(gen.shape[0]),
-    }
-
-    # FVD over I3D features. Without converted I3D weights the random-init
-    # feature space is still fixed (seed 0), so values are comparable across
-    # our own runs — hence the _uncalibrated suffix; exact parity with the
-    # reference's styleganv FVD lands with the converted weights.
-    if gen.shape[0] >= 2:
-        try:
-            import jax
-            import jax.numpy as jnp
-
-            from evoworld_tpu.eval.feature_nets import InceptionI3D, i3d_preprocess
-
-            i3d = InceptionI3D()
-            var = i3d.init(jax.random.key(0), jnp.zeros((1, 8, 32, 32, 3)))
-            feat_fn = jax.jit(lambda v: i3d.apply(var, i3d_preprocess(v)))
-            fg = np.concatenate([np.asarray(feat_fn(jnp.asarray(gen[i : i + 1]))) for i in range(gen.shape[0])])
-            fr = np.concatenate([np.asarray(feat_fn(jnp.asarray(gt[i : i + 1]))) for i in range(gt.shape[0])])
-            scores["fvd_uncalibrated"] = frechet_distance(fg, fr)
-        except Exception as exc:
-            logger.warning(f"fvd failed: {exc}")
-    else:
-        # Pixel-space Frechet stand-in for single-video runs.
-        feats_gen = gen.reshape(gen.shape[0] * n_frames, -1)[:, ::997]
-        feats_gt = gt.reshape(gt.shape[0] * n_frames, -1)[:, ::997]
-        try:
-            scores["pixel_frechet"] = frechet_distance(feats_gen, feats_gt)
-        except Exception as exc:
-            logger.warning(f"frechet failed: {exc}")
+    nets = FeatureNets(_load_metric_weights(getattr(config.runtime, "metric_weights_dir", "")))
+    scores = calculate_all_metrics(gen, gt, nets=nets)
+    # Convenience flat keys on top of the reference structure.
+    quick = batch_video_metrics(gen, gt)
+    scores["num_videos"] = int(gen.shape[0])
 
     out_path = os.path.join(root, "eval_score.json")
     with open(out_path, "w") as f:
         json.dump(scores, f, indent=2)
-    logger.info(f"wrote {out_path}: psnr={scores['psnr']:.3f} ssim={scores['ssim']:.4f}")
-    print(json.dumps(scores if len(str(scores)) < 500 else {k: scores[k] for k in ('psnr', 'ssim')}))
+    logger.info(
+        f"wrote {out_path}: psnr={quick['psnr']:.3f} ssim={quick['ssim']:.4f} "
+        f"lpips={scores['lpips']['value_mean']:.4f} "
+        f"latent_mse={scores['latent_mse']['value_mean']:.5f}"
+    )
+    print(json.dumps({
+        "psnr": scores["psnr"]["value_mean"],
+        "ssim": scores["ssim"]["value_mean"],
+        "lpips": scores["lpips"]["value_mean"],
+        "latent_mse": scores["latent_mse"]["value_mean"],
+        "loop_closure_latent_mse": scores["loop_closure_latent_mse"]["value_mean"],
+        **({"fvd": scores["fvd"]["value_mean"]} if "fvd" in scores else {}),
+    }))
 
 
 if __name__ == "__main__":

@@ -80,6 +80,15 @@ def main(argv=None):
         out = os.path.join(rt.save_dir, f"validation_{step:06d}.gif")
         export_gif(side_by_side(gt, np.asarray(frames)), out)
         logger.info(f"validation gif: {out}")
+        # Score the rollout against GT and stream to the tracker sink
+        # (reference logs validation media to wandb/tb, :771-875).
+        from evoworld_tpu.eval.metrics import batch_video_metrics
+        from evoworld_tpu.utils.trackers import JSONLTracker
+
+        scores = batch_video_metrics(np.asarray(frames)[None], gt[None])
+        tracker = JSONLTracker(rt.save_dir, run_name="validation")
+        tracker.log(step, {"val_psnr": scores["psnr"], "val_ssim": scores["ssim"]})
+        tracker.log_artifact(step, "validation_gif", out)
 
     state = train(
         pipeline.unet,

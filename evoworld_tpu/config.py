@@ -42,6 +42,7 @@ class RuntimeConfig:
     svd_checkpoint: Optional[str] = None      # HF-format SVD pipeline dir
     vggt_checkpoint: Optional[str] = None
     vggt_tiny: bool = False  # small random VGGT (CPU demos / smoke runs)
+    metric_weights_dir: str = ""  # dir with lpips.pt / inception_v4.pt / i3d.pt
     allow_random_weights: bool = True
     save_dir: str = "outputs"
     profile: bool = False

@@ -1,0 +1,174 @@
+"""DreamSim perceptual distance (single-branch dino_vitb16 variant).
+
+The reference scores image pairs with the `dreamsim` package
+(/root/reference/evoworld/metrics/other_metrics/calculate_dreamsim.py:11-17:
+model from `dreamsim(pretrained=True)`, score = model(img1, img2)). The
+published DreamSim default is an ENSEMBLE of LoRA-finetuned ViTs; this module
+implements the published single-branch `dreamsim-dino_vitb16` variant —
+a DINO ViT-B/16 backbone whose CLS embedding is compared by cosine distance:
+
+    d(a, b) = 1 - cos(f(a), f(b))
+
+Weights convert from a torch DINO-style state dict (the dreamsim checkpoint's
+merged backbone) via `convert_dino_state_dict`; without weights (zero-egress
+image) a fixed seed-0 random backbone still yields a consistent relative
+score. The ensemble variant is a documented non-goal: it triples the compute
+for a metric the reference only exposes as an auxiliary pair scorer.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from evoworld_tpu.models.vggt.aggregator import ViTBlock
+
+_IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+class DinoViT(nn.Module):
+    """DINO ViT-B/16: patch embed + CLS token + 12 blocks + final norm.
+
+    (N, 224, 224, 3) imagenet-normalized -> (N, embed_dim) CLS embedding.
+    """
+
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    patch_size: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, _ = x.shape
+        ph, pw = h // self.patch_size, w // self.patch_size
+        d = self.embed_dim
+        patches = nn.Conv(
+            d, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID", name="patch_embed", dtype=x.dtype,
+        )(x).reshape(n, ph * pw, d)
+
+        cls = self.param("cls_token", nn.initializers.normal(0.02), (1, d), jnp.float32)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1 + ph * pw, d), jnp.float32
+        )
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls[None], (n, 1, d)).astype(patches.dtype), patches], axis=1
+        )
+        tokens = tokens + pos.astype(tokens.dtype)[None]
+
+        for i in range(self.depth):
+            # DINO v1 blocks: no qk-norm; LayerScale absent (init 1.0 keeps
+            # the param convertible as identity when the source lacks it).
+            tokens = ViTBlock(
+                d, self.num_heads, 4.0, qk_norm=False, layerscale_init=1.0,
+                name=f"block_{i}",
+            )(tokens)
+        tokens = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+            tokens.astype(jnp.float32)
+        )
+        return tokens[:, 0]
+
+
+def preprocess(images: np.ndarray) -> jnp.ndarray:
+    """(N, H, W, 3) [0,1] -> (N, 224, 224, 3) imagenet-normalized."""
+    x = jax.image.resize(jnp.asarray(images, jnp.float32),
+                         (images.shape[0], 224, 224, 3), "bilinear")
+    return (x - _IMAGENET_MEAN) / _IMAGENET_STD
+
+
+class DreamSim:
+    """Pair scorer mirroring the reference call shape (model(img1, img2))."""
+
+    def __init__(self, params=None, seed: int = 0):
+        self.model = DinoViT()
+        if params is None:
+            params = self.model.init(jax.random.key(seed), jnp.zeros((1, 224, 224, 3)))
+            self.weights_tag = "random_seed0"
+        else:
+            self.weights_tag = "converted"
+        self._embed = jax.jit(lambda x: self.model.apply(params, x))
+
+    def embed(self, images: np.ndarray) -> np.ndarray:
+        return np.asarray(self._embed(preprocess(images)))
+
+    def __call__(self, img1: np.ndarray, img2: np.ndarray) -> np.ndarray:
+        """(N, H, W, 3) [0,1] pairs -> (N,) distances in [0, 2]."""
+        a = self.embed(np.atleast_3d(img1)[None] if img1.ndim == 3 else img1)
+        b = self.embed(np.atleast_3d(img2)[None] if img2.ndim == 3 else img2)
+        a = a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+        b = b / np.maximum(np.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+        return 1.0 - (a * b).sum(-1)
+
+
+def convert_dino_state_dict(src: Mapping[str, np.ndarray]) -> Tuple[dict, list]:
+    """torch DINO ViT-B/16 naming -> DinoViT params (+ report).
+
+    Accepts the standard facebook DINO naming (cls_token, pos_embed,
+    patch_embed.proj, blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,
+    mlp.fc2}, norm). LayerScale gammas are filled with ones when absent.
+    """
+    from evoworld_tpu.models.weights import _set, _t_conv, _t_linear
+
+    out: dict = {}
+    report: list = []
+    used: set = set()
+
+    def take(name):
+        if name in src:
+            used.add(name)
+            return np.asarray(src[name])
+        return None
+
+    def put(name, dst, tf=None):
+        v = take(name)
+        if v is None:
+            report.append(f"missing {name}")
+            return
+        _set(out, dst, tf(v) if tf else v)
+
+    cls = take("cls_token")
+    if cls is None:
+        report.append("missing cls_token")
+    else:
+        _set(out, "cls_token", cls.reshape(1, -1))
+    pos = take("pos_embed")
+    if pos is None:
+        report.append("missing pos_embed")
+    else:
+        _set(out, "pos_embed", pos.reshape(pos.shape[-2], pos.shape[-1]))
+    put("patch_embed.proj.weight", "patch_embed/kernel", _t_conv)
+    put("patch_embed.proj.bias", "patch_embed/bias")
+    put("norm.weight", "norm/scale")
+    put("norm.bias", "norm/bias")
+
+    i = 0
+    while f"blocks.{i}.norm1.weight" in src:
+        p, d = f"blocks.{i}", f"block_{i}"
+        put(f"{p}.norm1.weight", f"{d}/norm1/scale")
+        put(f"{p}.norm1.bias", f"{d}/norm1/bias")
+        put(f"{p}.attn.qkv.weight", f"{d}/qkv/kernel", _t_linear)
+        put(f"{p}.attn.qkv.bias", f"{d}/qkv/bias")
+        put(f"{p}.attn.proj.weight", f"{d}/proj/kernel", _t_linear)
+        put(f"{p}.attn.proj.bias", f"{d}/proj/bias")
+        put(f"{p}.norm2.weight", f"{d}/norm2/scale")
+        put(f"{p}.norm2.bias", f"{d}/norm2/bias")
+        put(f"{p}.mlp.fc1.weight", f"{d}/fc1/kernel", _t_linear)
+        put(f"{p}.mlp.fc1.bias", f"{d}/fc1/bias")
+        put(f"{p}.mlp.fc2.weight", f"{d}/fc2/kernel", _t_linear)
+        put(f"{p}.mlp.fc2.bias", f"{d}/fc2/bias")
+        dim = np.asarray(src[f"{p}.norm1.weight"]).shape[0]
+        for ls in ("ls1", "ls2"):
+            v = take(f"{p}.{ls}.gamma")
+            _set(out, f"{d}/{ls}", v if v is not None else np.ones((dim,), np.float32))
+        i += 1
+    if i == 0:
+        report.append("missing all blocks")
+    leftover = sorted(set(src) - used - {"mask_token"})
+    report.extend(f"unmapped source key {k}" for k in leftover)
+    return {"params": out}, report

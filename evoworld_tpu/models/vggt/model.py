@@ -131,10 +131,13 @@ def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16):
     "depth_unproject").
     """
 
+    # Params are a jit ARGUMENT, not a closure: closed-over params lower to
+    # HLO constants (2.3 GB for the 1B model), which is what broke the
+    # remote-compile transport in round 1.
     @jax.jit
-    def reconstruct(images):
+    def reconstruct(p, images):
         batch = load_and_preprocess_images(jnp.asarray(images))
-        preds = model.apply(params, batch.astype(compute_dtype))
+        preds = model.apply(p, batch.astype(compute_dtype))
         hw = batch.shape[2:4]
         extrinsic, intrinsic = pose_encoding_to_extri_intri(preds["pose_enc"][0], hw)
         points = unproject_depth_map_to_point_map(preds["depth"][0], extrinsic, intrinsic)
@@ -145,4 +148,4 @@ def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16):
             "colors": batch[0],
         }
 
-    return reconstruct
+    return lambda images: reconstruct(params, images)

@@ -159,6 +159,18 @@ def train(
     batches = episode_batches(dataset, batch_size, (h, w))
     rng = jax.random.key(0)
 
+    from evoworld_tpu.utils.trackers import JSONLTracker
+
+    tracker = JSONLTracker(trainer_config.output_dir)
+    if config.lr_schedule == "cosine":
+        import optax
+
+        lr_schedule = optax.warmup_cosine_decay_schedule(
+            0.0, config.learning_rate, config.warmup_steps, config.total_steps
+        )
+    else:
+        lr_schedule = lambda _: config.learning_rate
+
     running = 0.0
     t0 = time.time()
     start_step = int(state.step)
@@ -181,10 +193,19 @@ def train(
 
         if (step + 1) % trainer_config.log_steps == 0:
             dt = time.time() - t0
+            mean_loss = running / trainer_config.log_steps
             logger.info(
-                f"step {step + 1} loss {running / trainer_config.log_steps:.4f} "
+                f"step {step + 1} loss {mean_loss:.4f} "
                 f"({dt / trainer_config.log_steps:.2f}s/step)"
             )
+            # Reference logs train_loss + lr to its trackers
+            # (train_evoworld.py:732-735).
+            tracker.log(step + 1, {
+                "train_loss": mean_loss,
+                "lr": float(lr_schedule(step + 1)),
+                "grad_norm": float(metrics["grad_norm"]),
+                "sec_per_step": dt / trainer_config.log_steps,
+            })
             running, t0 = 0.0, time.time()
 
         if (step + 1) % trainer_config.checkpointing_steps == 0:

@@ -188,3 +188,21 @@ class TestCLIHelp:
         with _pytest.raises(SystemExit) as e:
             parse_config(["--help"])
         assert e.value.code == 0
+
+
+class TestTrackers:
+    def test_jsonl_tracker_roundtrip(self, tmp_path):
+        import json
+
+        from evoworld_tpu.utils.trackers import JSONLTracker
+
+        tr = JSONLTracker(str(tmp_path), run_name="t")
+        tr.log(10, {"train_loss": 0.5, "lr": 1e-5})
+        tr.log(20, {"train_loss": 0.4, "lr": 9e-6})
+        tr.log_artifact(20, "validation_gif", "/tmp/x.gif")
+        rows = [json.loads(l) for l in open(tmp_path / "t_metrics.jsonl")]
+        assert rows[0]["step"] == 10 and abs(rows[0]["train_loss"] - 0.5) < 1e-9
+        assert rows[2]["artifact"] == "validation_gif"
+        csv_lines = open(tmp_path / "t_metrics.csv").read().strip().splitlines()
+        assert csv_lines[0].split(",")[:2] == ["step", "wall_s"]
+        assert len(csv_lines) == 3
