@@ -68,6 +68,39 @@ class UnifiedLoop:
         self.navigator = navigator
         self.reconstructor = reconstructor
         self.config = config
+        # Jitted device paths: eager dispatch is pathological over the dev
+        # tunnel (each op is a network round-trip — the eager splat measured
+        # ~15 s/segment at TINY scale). jit caches per (shape, static) so the
+        # growing all_frames axis and the two segment_ids each compile once.
+        self._extract_jit = jax.jit(self._extract_impl)
+        self._render_jit = jax.jit(
+            self._render_impl, static_argnames=("segment_id", "height", "width")
+        )
+
+    def _extract_impl(self, frames: jnp.ndarray, yaws: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+
+        def one(args):
+            frame, yaw = args
+            return equi_to_pers(
+                frame, yaw=yaw, out_height=cfg.pers_height,
+                out_width=cfg.pers_width, fov_x_deg=cfg.pers_fov_x,
+            )
+
+        return jax.lax.map(one, (frames, yaws))
+
+    def _render_impl(
+        self, world_points, conf, extrinsic, colors, temp_cam,
+        segment_id: int, height: int, width: int,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        gt_c2w = pose_to_matrix(temp_cam, relative=True)
+        target_c2w = align_target_poses(gt_c2w, extrinsic, segment_id, cfg.num_target_view)
+        points = world_points.reshape(-1, 3)
+        valid = confidence_mask(conf, cfg.conf_percentile).reshape(-1)
+        return render_memory_panoramas(
+            points, colors.reshape(-1, 3), valid, target_c2w, height, width
+        )
 
     # -- reference convert_pano_to_pers (:299-334) ---------------------
     def panos_to_perspectives(
@@ -99,13 +132,7 @@ class UnifiedLoop:
             yaws.append(yaw_diff)
         yaws = np.asarray(yaws, np.float32)
 
-        def extract(frame, yaw):
-            return equi_to_pers(
-                frame, yaw=yaw, out_height=cfg.pers_height,
-                out_width=cfg.pers_width, fov_x_deg=cfg.pers_fov_x,
-            )
-
-        pers = jax.lax.map(lambda args: extract(*args), (frames, jnp.asarray(yaws)))
+        pers = self._extract_jit(frames, jnp.asarray(yaws))
         return pers, np.degrees(yaws)
 
     # -- memory rebuild (:442-489) -------------------------------------
@@ -137,22 +164,18 @@ class UnifiedLoop:
         s = max(0, end_idx - len(target_yaws))
         temp_cam[s:end_idx, 4] = target_yaws[: end_idx - s]
 
-        gt_c2w = pose_to_matrix(jnp.asarray(temp_cam, jnp.float32), relative=True)
-        target_c2w = align_target_poses(
-            gt_c2w, preds["extrinsic"], segment_id, cfg.num_target_view
-        )
-
-        points = preds["world_points"].reshape(-1, 3)
         conf = preds["conf"]
         colors = preds.get("colors")
         if colors is None:
             colors = pers[:, : conf.shape[1], : conf.shape[2], :]
-        colors = colors.reshape(-1, 3)
-        valid = confidence_mask(conf, cfg.conf_percentile).reshape(-1)
 
         height, width = all_frames.shape[1], all_frames.shape[2]
         with phase_timer(f"splat_render_s{segment_id}", logger=logger):
-            out = render_memory_panoramas(points, colors, valid, target_c2w, height, width)
+            out = self._render_jit(
+                preds["world_points"], conf, preds["extrinsic"], colors,
+                jnp.asarray(temp_cam, jnp.float32),
+                segment_id=segment_id, height=height, width=width,
+            )
             force_sync(out)
         return out
 

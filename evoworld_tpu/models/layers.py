@@ -58,6 +58,12 @@ class TimestepEmbedding(nn.Module):
         return x
 
 
+# Statistics dtype for the norms below. fp32 is the drift-safe default; the
+# perf harness may set bf16 to measure the cast-chain cost (scripts/
+# exp_unet_perf.py) — not a production switch unless parity tests stay green.
+_NORM_DTYPE = jnp.float32
+
+
 class GroupNorm(nn.Module):
     """GroupNorm over the trailing channel axis, statistics in fp32."""
 
@@ -70,10 +76,10 @@ class GroupNorm(nn.Module):
         out = nn.GroupNorm(
             num_groups=self.num_groups,
             epsilon=self.epsilon,
-            dtype=jnp.float32,
+            dtype=_NORM_DTYPE,
             param_dtype=jnp.float32,
             name="norm",
-        )(x.astype(jnp.float32))
+        )(x.astype(_NORM_DTYPE))
         return out.astype(orig_dtype)
 
 
@@ -131,8 +137,8 @@ class LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         orig = x.dtype
-        out = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32, name="norm")(
-            x.astype(jnp.float32)
+        out = nn.LayerNorm(epsilon=self.epsilon, dtype=_NORM_DTYPE, param_dtype=jnp.float32, name="norm")(
+            x.astype(_NORM_DTYPE)
         )
         return out.astype(orig)
 

@@ -121,7 +121,37 @@ def load_and_preprocess_images(images: np.ndarray, target_width: int = 518) -> j
     return arr[None]
 
 
-def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16):
+def _try_host_offload(params):
+    """Park a param tree in the accelerator HOST's RAM (pinned_host).
+
+    In the evolving-memory loop VGGT idles while the 25-step denoise runs;
+    parking its ~2.6 GB of bf16 params in host memory frees that HBM for the
+    denoise peak (16 GB/chip budget, SURVEY.md §7 hard-part #5 "stage VGGT
+    in/out between segments"). The per-segment restage rides PCIe on the TPU
+    host, not the dev tunnel. Returns (params, device_sharding-or-None);
+    backends without memory kinds keep params on device.
+    """
+    try:
+        from jax.sharding import SingleDeviceSharding
+
+        dev = jax.devices()[0]
+        host_sh = SingleDeviceSharding(dev, memory_kind="pinned_host")
+        dev_sh = SingleDeviceSharding(dev, memory_kind="device")
+        # Two hops: a normal batched put to device (the fast transport path),
+        # then an EAGER relocation to pinned host (pure PJRT DMA, no compile
+        # — a jitted identity with pinned out_shardings fails AOT compile on
+        # the axon backend: "Unimplemented DMA", and a direct
+        # client->pinned_host device_put serializes per-leaf over the dev
+        # tunnel). Rebinding drops the transient device copy.
+        params = jax.device_put(params)
+        params = jax.device_put(params, host_sh)
+        return params, dev_sh
+    except Exception:  # noqa: BLE001 — memory kinds unsupported on backend
+        return params, None
+
+
+def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16,
+                       offload_params: bool = True):
     """Wrap a VGGT model as the UnifiedLoop reconstructor callable.
 
     Returns fn(images (S, Hp, Wp, 3) in [0,1]) -> dict with world_points,
@@ -130,6 +160,13 @@ def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16):
     unified_loop_consistency.py:336-368 with prediction_mode
     "depth_unproject").
     """
+    dev_sh = None
+    if offload_params:
+        params, dev_sh = _try_host_offload(params)
+    if dev_sh is None:
+        # No offload: pin params on device ONCE (numpy leaves would otherwise
+        # re-transfer on every call).
+        params = jax.device_put(params)
 
     # Params are a jit ARGUMENT, not a closure: closed-over params lower to
     # HLO constants (2.3 GB for the 1B model), which is what broke the
@@ -148,4 +185,11 @@ def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16):
             "colors": batch[0],
         }
 
-    return lambda images: reconstruct(params, images)
+    def call(images):
+        # Restage offloaded params into HBM EAGERLY (PJRT DMA on the TPU
+        # host); the transient device copy is dropped when the call returns,
+        # so only the pinned-host copy survives into the denoise phase.
+        p = jax.device_put(params, dev_sh) if dev_sh is not None else params
+        return reconstruct(p, images)
+
+    return call

@@ -346,16 +346,27 @@ def verify_tree_matches(converted: dict, reference_shapes, path="") -> list[str]
     return problems
 
 
-def host_random_params(shapes, seed: int, dtype):
+def host_random_params(shapes, seed: int, dtype, as_numpy: bool = False):
     """Deterministic host-side pseudo-random init for smoke/bench runs.
 
     Device-side flax init of billion-parameter trees is a pathological
     compile on remote backends. This respects parameter roles by path
     (norm scales/alpha-blend factors -> their neutral values, biases -> 0,
     kernels -> fan-in-scaled normal) so random models still propagate signal.
+
+    `as_numpy=True` keeps leaves as client-side numpy (ml_dtypes-backed for
+    bf16) so the caller controls the single device transfer — e.g. a direct
+    put to pinned_host for offloaded params, avoiding a device round-trip
+    over the slow dev tunnel.
     """
     import jax
     import jax.numpy as jnp
+
+    np_dtype = jnp.dtype(dtype)
+    xp_ones = (lambda s: np.ones(s, np_dtype)) if as_numpy else (lambda s: jnp.ones(s, dtype))
+    xp_full = (lambda s, v: np.full(s, v, np_dtype)) if as_numpy else (lambda s, v: jnp.full(s, v, dtype))
+    xp_zeros = (lambda s: np.zeros(s, np_dtype)) if as_numpy else (lambda s: jnp.zeros(s, dtype))
+    xp_cast = (lambda a: a.astype(np_dtype)) if as_numpy else (lambda a: jnp.asarray(a, dtype))
 
     rng = np.random.default_rng(seed)
 
@@ -363,15 +374,15 @@ def host_random_params(shapes, seed: int, dtype):
         name = str(getattr(path[-1], "key", path[-1])) if path else ""
         shape = tuple(s.shape)
         if name == "scale":
-            return jnp.ones(shape, dtype)
+            return xp_ones(shape)
         if name == "mix_factor":
-            return jnp.full(shape, 0.5, dtype)
+            return xp_full(shape, 0.5)
         if name in ("bias", "class_embedding"):
-            return jnp.zeros(shape, dtype)
+            return xp_zeros(shape)
         if len(shape) >= 2:
             fan_in = int(np.prod(shape[:-1]))
             std = float(np.sqrt(1.0 / max(fan_in, 1)))
-            return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * std, dtype)
-        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * 0.02, dtype)
+            return xp_cast(rng.standard_normal(shape, dtype=np.float32) * std)
+        return xp_cast(rng.standard_normal(shape, dtype=np.float32) * 0.02)
 
     return jax.tree_util.tree_map_with_path(leaf, shapes)

@@ -91,6 +91,32 @@ def shard_params_tp(params, mesh: Mesh, min_size: int = 1 << 16):
     return jax.tree.map(rule, params)
 
 
+def zero_shard_specs(tree, mesh: Mesh, min_size: int = 1 << 16):
+    """ZeRO-style data-axis sharding specs for a grad/param-shaped tree.
+
+    Leaves with >= `min_size` elements whose leading dim divides the data-axis
+    size get P("data", ...) on dim 0; everything else replicates. Used for
+    ZeRO-2 gradient sharding (constraining grads to these specs makes GSPMD
+    lower the cross-data-axis gradient reduction to reduce-scatter + a
+    sharded optimizer update, the DeepSpeed stage-2 dataflow —
+    reference config/accelerate_deepspeed_o2_config.yaml).
+    """
+    data_size = mesh.shape["data"]
+
+    def rule(leaf):
+        if (
+            hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and leaf.size >= min_size
+            and leaf.shape[0] % data_size == 0
+        ):
+            spec = ["data"] + [None] * (leaf.ndim - 1)
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, tree)
+
+
 def shard_opt_state_zero1(opt_state, params_shardings, mesh: Mesh):
     """ZeRO-1 analog: shard Adam moments over the data axis where possible.
 

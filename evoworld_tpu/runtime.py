@@ -131,7 +131,11 @@ def build_reconstructor(config: EvoWorldConfig):
                 raise ValueError(
                     f"VGGT checkpoint {rt.vggt_checkpoint} did not convert cleanly"
                 )
-        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        # Keep leaves as client-side numpy: make_reconstructor's host-offload
+        # then makes the single transfer straight to accelerator-host memory.
+        import numpy as np
+
+        params = jax.tree.map(lambda x: np.asarray(x).astype(jnp.dtype(dtype)), params)
         return make_reconstructor(VGGT(VGGTConfig()), params, dtype)
     if not rt.allow_random_weights:
         raise FileNotFoundError("no VGGT checkpoint and allow_random_weights=false")
@@ -155,9 +159,11 @@ def build_reconstructor(config: EvoWorldConfig):
     else:
         # Full 1B random init is a pathological compile (thousands of RNG
         # ops); without real weights the values are arbitrary anyway — use
-        # cheap deterministic role-aware leaves built host-side.
+        # cheap deterministic role-aware leaves built host-side. Kept as
+        # numpy so make_reconstructor's host-offload is ONE tunnel transfer
+        # straight into the accelerator host's pinned memory.
         from evoworld_tpu.models.weights import host_random_params
 
         shapes = jax.eval_shape(lambda k: model.init(k, sample), jax.random.key(0))
-        params = host_random_params(shapes, rt.seed, dtype)
+        params = host_random_params(shapes, rt.seed, dtype, as_numpy=True)
     return make_reconstructor(model, params, dtype)

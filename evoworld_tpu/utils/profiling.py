@@ -49,7 +49,18 @@ def phase_timer(name: str, sync: bool = True, logger=None):
     _PHASE_TOTALS[name] += dt
     _PHASE_COUNTS[name] += 1
     if logger is not None:
-        logger.info(f"[{name}] {dt * 1e3:.1f} ms")
+        logger.info(f"[{name}] {dt * 1e3:.1f} ms{_hbm_suffix()}")
+
+
+def _hbm_suffix() -> str:
+    """' | hbm used/peak GB' when the backend exposes memory_stats."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        used = stats.get("bytes_in_use", 0) / 2**30
+        peak = stats.get("peak_bytes_in_use", 0) / 2**30
+        return f" | hbm {used:.2f}/{peak:.2f} GB"
+    except Exception:  # noqa: BLE001 — not all backends report stats
+        return ""
 
 
 def phase_report() -> dict[str, dict]:

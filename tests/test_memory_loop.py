@@ -128,3 +128,50 @@ class TestUnifiedLoop:
         assert out["memories"][0].shape == (f - 1, 64, 128, 3)
         for seg in out["segments"]:
             assert np.isfinite(np.asarray(seg)).all()
+
+
+class TestSplatBruteForceParity:
+    def test_matches_numpy_zbuffer(self):
+        """Sort-based raster == brute-force z-buffer (random cloud, radius 2)."""
+        rng = np.random.default_rng(3)
+        n, h, w = 4000, 40, 80
+        pts = rng.normal(size=(n, 3)).astype(np.float32) * 3.0
+        cols = rng.uniform(size=(n, 3)).astype(np.float32)
+        valid = rng.uniform(size=(n,)) > 0.2
+
+        pano, depth, mask = splat_points_to_pano(
+            jnp.asarray(pts), jnp.asarray(cols), jnp.eye(4)[:3], h, w,
+            valid=jnp.asarray(valid), splat_radius=2,
+        )
+
+        # Brute force: project, per-pixel nearest point over the 2x2 footprint.
+        d = np.linalg.norm(pts, axis=-1)
+        dirs = pts / np.maximum(d, 1e-12)[:, None]
+        lon = np.arctan2(dirs[:, 0], dirs[:, 2])
+        lat = np.arcsin(np.clip(dirs[:, 1], -1, 1))
+        u = np.floor((lon / (2 * np.pi) + 0.5) * w).astype(int) % w
+        v = np.clip(np.floor((lat / np.pi + 0.5) * h).astype(int), 0, h - 1)
+        zbuf = np.full((h, w), np.inf)
+        cbuf = np.zeros((h, w, 3))
+        order = np.argsort(d)   # nearest last so it wins ties deterministically
+        for i in order[::-1]:
+            if not valid[i]:
+                continue
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    vv = min(v[i] + dy, h - 1)
+                    uu = (u[i] + dx) % w
+                    if d[i] <= zbuf[vv, uu]:
+                        zbuf[vv, uu] = d[i]
+                        cbuf[vv, uu] = cols[i]
+
+        got_d = np.asarray(depth)
+        # Depth agrees everywhere (the 10-bit log-depth quantization only
+        # reorders points closer than ~1% in depth; compare with tolerance).
+        both = np.isfinite(zbuf) & np.asarray(mask)
+        assert (np.isfinite(zbuf) == np.asarray(mask)).all()
+        np.testing.assert_allclose(got_d[both], zbuf[both], rtol=2e-2)
+        # Colors agree wherever the winner is depth-unambiguous.
+        exact = both & np.isclose(got_d, zbuf, rtol=1e-6)
+        agree = np.isclose(np.asarray(pano)[exact], cbuf[exact], atol=1e-6).all(-1)
+        assert agree.mean() > 0.995, agree.mean()

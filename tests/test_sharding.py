@@ -86,3 +86,56 @@ class TestShardedPipeline:
         a = make_random_pipeline(cfg, **kwargs)(*args, jax.random.key(1), latents=noise)
         b = make_random_pipeline(cfg, mesh=mesh, **kwargs)(*args, jax.random.key(1), latents=noise)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+
+
+class TestZeRO2:
+    def test_zero2_matches_unsharded_step(self, mesh8):
+        """ZeRO-2 grad sharding must not change the update numerics."""
+        from evoworld_tpu.models.unet import UNetSpatioTemporal, UNetConfig
+        from evoworld_tpu.models.vae import AutoencoderKLTemporal, VAEConfig
+        from evoworld_tpu.models.clip import CLIPVisionTower, CLIPVisionConfig
+        from evoworld_tpu.train.train_step import (
+            TrainConfig, TrainState, make_optimizer, make_sharded_train_step,
+        )
+
+        mesh = make_mesh(jax.devices()[:4], model=1)
+        unet = UNetSpatioTemporal(UNetConfig(block_out_channels=(32, 64, 128, 128),
+                                             num_attention_heads=(2, 4, 8, 8)))
+        vae = AutoencoderKLTemporal(VAEConfig(block_out_channels=(32, 64, 128, 128)))
+        clip_tower = CLIPVisionTower(CLIPVisionConfig(hidden_size=64, num_layers=2,
+                                                      num_heads=4, mlp_dim=128))
+        key = jax.random.key(0)
+        f, h, w = 3, 64, 128
+        unet_params = unet.init(
+            key, jnp.zeros((1, f, h // 8, w // 8, 18)), jnp.asarray(1.0),
+            jnp.zeros((1, 1, 1024)), jnp.zeros((1, 3)),
+        )
+        frozen = {
+            "vae": vae.init(key, jnp.zeros((1, h, w, 3)), 1),
+            "clip": clip_tower.init(key, jnp.zeros((1, 224, 224, 3))),
+        }
+        config = TrainConfig(total_steps=4, warmup_steps=1)
+        optimizer = make_optimizer(config, unet_params)
+        batch = {
+            "pixel_values": jnp.full((4, f, h, w, 3), 0.1),
+            "memory_values": jnp.zeros((4, f, h, w, 3)),
+            "plucker": jnp.zeros((4, f, h // 8, w // 8, 6)),
+        }
+
+        results = []
+        for kwargs in (dict(mesh=None), dict(mesh=mesh, zero_stage=2)):
+            # Fresh buffers each round: the train step donates the state, so
+            # reusing the same arrays would hit deleted buffers.
+            params = jax.tree.map(jnp.copy, unet_params)
+            state = TrainState(params, optimizer.init(params),
+                               jnp.zeros((), jnp.int32))
+            step = make_sharded_train_step(
+                unet, vae, clip_tower, frozen, optimizer, config,
+                compute_dtype=jnp.float32, **kwargs,
+            )
+            new_state, metrics = step(state, batch, jax.random.key(1))
+            results.append((float(metrics["loss"]),
+                            float(jnp.sum(jnp.abs(new_state.params["params"]["conv_in"]["kernel"])))))
+        (loss_a, p_a), (loss_b, p_b) = results
+        np.testing.assert_allclose(loss_a, loss_b, rtol=1e-4)
+        np.testing.assert_allclose(p_a, p_b, rtol=1e-4)
