@@ -29,6 +29,41 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
+def _blockdiag_small_seq(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    group: int = 4, pad_to: int = 32,
+) -> jnp.ndarray:
+    """Exact attention for tiny sequences (the 25-frame temporal attention).
+
+    The naive einsum at S=25 is lane-padding-bound on TPU (25 is padded to
+    128 in the logits' minor dim — ~5x wasted HBM traffic for a kernel with
+    trivial FLOPs). Batch `group` independent sequences into one attention
+    of length group*pad_to with a block-diagonal mask instead: the masked
+    softmax is exactly per-sequence softmax, the logits tile becomes
+    (group*pad_to)^2 = 128x128 (one MXU tile at the defaults), and traffic
+    drops ~4x. The (group x) extra matmul FLOPs are noise at these sizes.
+    """
+    b, s, h, d = q.shape
+    g = group
+    pb = (g - b % g) % g
+    ps = pad_to - s
+    qp = jnp.pad(q, ((0, pb), (0, ps), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, pb), (0, ps), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, pb), (0, ps), (0, 0), (0, 0)))
+    bb = qp.shape[0] // g
+    qg = qp.reshape(bb, g * pad_to, h, d)
+    kg = kp.reshape(bb, g * pad_to, h, d)
+    vg = vp.reshape(bb, g * pad_to, h, d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qg, kg).astype(jnp.float32) * scale
+    blk = jnp.arange(g * pad_to) // pad_to
+    tok = jnp.arange(g * pad_to) % pad_to
+    mask = (blk[:, None] == blk[None, :]) & (tok[None, :] < s)
+    logits = jnp.where(mask, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1).astype(vg.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vg)
+    return out.reshape(bb * g, pad_to, h, d)[:b, :s]
+
+
 def _builtin_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
     """JAX's shipped Pallas TPU flash-attention ((B, H, S, D) layout)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -91,8 +126,19 @@ def multi_head_attention(
         (B, Sq, H, Dh) attention output in q's dtype.
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
+    if k.shape[1] == 1 and impl == "auto":
+        # Softmax over a single key is identically 1, so attention reduces to
+        # broadcasting V over the query positions — exact, and saves the
+        # kv-dim lane padding (1 -> 128) the einsum path would pay. This is
+        # the SVD cross-attention case: CLIP context is one token
+        # (pipeline_evoworld.py passes (B, 1, 1024) image embeddings).
+        return jnp.broadcast_to(v, q.shape).astype(q.dtype)
     on_accel = jax.default_backend() not in ("cpu",)
     long_seq = q.shape[1] >= 1024
+    # NOTE: a block-diagonal batched variant for the tiny temporal sequences
+    # (_blockdiag_small_seq) measured SLOWER than the plain einsum on v5e
+    # (26 vs 23 ms at B=18432 S=25 — XLA already handles the padding well);
+    # it is kept (tested) but not routed automatically.
     if impl == "builtin" or (impl == "auto" and long_seq and on_accel):
         return _builtin_flash(q, k, v, scale)
     if impl == "flash":

@@ -1,0 +1,116 @@
+"""Round 2 of attention tuning: sync-floor calibration, flash block sweeps,
+kv=1 shortcut, small-seq (temporal) block-diagonal batching."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(name, fn, *args, n=5):
+    out = fn(*args)
+    _ = float(jnp.sum(out.astype(jnp.float32).ravel()[:128]))
+    ts = []
+    for _i in range(n):
+        t0 = time.time()
+        out = fn(*args)
+        _ = float(jnp.sum(out.astype(jnp.float32).ravel()[:128]))
+        ts.append(time.time() - t0)
+    print(f"{name}: {min(ts)*1e3:.1f} ms", flush=True)
+    return min(ts)
+
+
+def flash_with_blocks(q, k, v, scale, bq, bk):
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes, flash_attention
+
+    qt, kt, vt = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+    blk = BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                     block_q_major_dkv=bq, block_k_major_dkv=bk, block_q_dkv=bq,
+                     block_k_dkv=bk, block_q_dq=bq, block_k_dq=bk, block_k_major_dq=bk)
+    out = flash_attention(qt, kt, vt, causal=False, sm_scale=scale, block_sizes=blk)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def blockdiag_small_seq(q, k, v, scale, group=4, pad_to=32):
+    """Batch `group` independent length-S sequences into one attention of
+    length group*pad_to with a block-diagonal mask. Exact (masked softmax),
+    trades (group x) MXU compute waste for lane-aligned layouts."""
+    b, s, h, d = q.shape
+    g = group
+    pb = (g - b % g) % g
+    ps = pad_to - s
+    qp = jnp.pad(q, ((0, pb), (0, ps), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, pb), (0, ps), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, pb), (0, ps), (0, 0), (0, 0)))
+    bb = qp.shape[0] // g
+    qg = qp.reshape(bb, g * pad_to, h, d)
+    kg = kp.reshape(bb, g * pad_to, h, d)
+    vg = vp.reshape(bb, g * pad_to, h, d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qg, kg).astype(jnp.float32) * scale
+    blk = jnp.arange(g * pad_to) // pad_to
+    tok = jnp.arange(g * pad_to) % pad_to
+    mask = (blk[:, None] == blk[None, :]) & (tok[None, :] < s)
+    logits = jnp.where(mask, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1).astype(vg.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vg)
+    return out.reshape(bb * g, pad_to, h, d)[:b, :s]
+
+
+def main():
+    print(jax.devices(), flush=True)
+    key = jax.random.key(0)
+
+    # --- sync floor: trivial op + scalar readback --------------------
+    tiny = jnp.ones((8, 128), jnp.float32)
+    f0 = jax.jit(lambda x: x + 1.0)
+    floor = timeit("sync_floor (trivial jit + readback)", f0, tiny)
+
+    # --- spatial L0 flash block sweep --------------------------------
+    scale = 1.0 / 8.0
+    q0 = jax.random.normal(key, (50, 9216, 5, 64), jnp.bfloat16)
+    for bq, bk in []:
+        if 9216 % bq or 9216 % bk:
+            continue
+        fn = jax.jit(lambda q, bq=bq, bk=bk: flash_with_blocks(q, q, q, scale, bq, bk))
+        timeit(f"L0 flash bq={bq} bk={bk}", fn, q0)
+
+    # splash attention, if available
+    try:
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_kernel as sk, splash_attention_mask as sm)
+
+        def splash(q):
+            qt, kt, vt = (jnp.swapaxes(t, 1, 2) for t in (q, q, q))
+            mask = sm.FullMask((9216, 9216))
+            mgrid = sm.MultiHeadMask([mask] * 5)
+            kernel = sk.make_splash_mha(mask=mgrid, head_shards=1, q_seq_shards=1)
+            fn = jax.vmap(kernel)  # over batch
+            return jnp.swapaxes(fn(qt * scale, kt, vt), 1, 2)
+
+        timeit("L0 splash", jax.jit(splash), q0)
+    except Exception as e:  # noqa: BLE001
+        print("splash unavailable:", type(e).__name__, str(e)[:160])
+
+    # --- kv=1 cross shortcut -----------------------------------------
+    kv = jax.random.normal(key, (50, 1, 5, 64), jnp.bfloat16)
+    from evoworld_tpu.ops.attention import multi_head_attention
+    fn = jax.jit(lambda q, kv: multi_head_attention(q, kv, kv, impl="xla"))
+    timeit("cross kv=1 xla", fn, q0, kv)
+    fn2 = jax.jit(lambda q, kv: jnp.broadcast_to(kv, q.shape))
+    timeit("cross kv=1 broadcast", fn2, q0, kv)
+
+    # --- temporal small-seq variants ---------------------------------
+    qt = jax.random.normal(key, (18432, 25, 5, 64), jnp.bfloat16)
+    fn = jax.jit(lambda q: multi_head_attention(q, q, q, impl="xla"))
+    timeit("temporal L0 xla", fn, qt)
+    for g in (2, 4, 8):
+        fn = jax.jit(lambda q, g=g: blockdiag_small_seq(q, q, q, 1/8.0, group=g))
+        timeit(f"temporal L0 blockdiag g={g}", fn, qt)
+
+
+if __name__ == "__main__":
+    main()

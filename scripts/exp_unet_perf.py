@@ -6,7 +6,11 @@ Variants:
   bf16norm  — norm statistics in bf16 (measures the fp32 cast-chain cost)
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

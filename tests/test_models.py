@@ -106,6 +106,30 @@ class TestFlashAttention:
         got = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128, interpret=True))
         np.testing.assert_allclose(got, want, atol=2e-5)
 
+    def test_kv1_broadcast_is_exact(self):
+        """Softmax over one key == 1, so auto's kv=1 shortcut must equal xla."""
+        from evoworld_tpu.ops.attention import _xla_attention, multi_head_attention
+
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(3, 57, 4, 16)).astype(np.float32))
+        kv = jnp.asarray(rng.normal(size=(3, 1, 4, 16)).astype(np.float32))
+        want = np.asarray(_xla_attention(q, kv, kv, scale=0.25))
+        got = np.asarray(multi_head_attention(q, kv, kv, impl="auto"))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_blockdiag_small_seq_matches_xla(self):
+        """Block-diagonal batched tiny-seq attention is exact (incl. ragged B)."""
+        from evoworld_tpu.ops.attention import _blockdiag_small_seq, _xla_attention
+
+        rng = np.random.default_rng(2)
+        for b in (7, 8):  # ragged and exact group multiples
+            q = jnp.asarray(rng.normal(size=(b, 25, 2, 16)).astype(np.float32))
+            k = jnp.asarray(rng.normal(size=(b, 25, 2, 16)).astype(np.float32))
+            v = jnp.asarray(rng.normal(size=(b, 25, 2, 16)).astype(np.float32))
+            want = np.asarray(_xla_attention(q, k, v, scale=0.25))
+            got = np.asarray(_blockdiag_small_seq(q, k, v, 0.25, group=4, pad_to=32))
+            np.testing.assert_allclose(got, want, atol=2e-5)
+
 
 class TestTrainStep:
     def test_one_step_decreases_nothing_blows_up(self):
