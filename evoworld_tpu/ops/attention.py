@@ -134,11 +134,16 @@ def multi_head_attention(
         # (pipeline_evoworld.py passes (B, 1, 1024) image embeddings).
         return jnp.broadcast_to(v, q.shape).astype(q.dtype)
     on_accel = jax.default_backend() not in ("cpu",)
-    long_seq = q.shape[1] >= 1024
+    # Flash only pays off for the longest spatial sequences: at S=2304 the
+    # einsum path is faster in-graph (full-UNet A/B: 1.955 vs 2.013 s — XLA
+    # fuses the fp32 logits chain well and the ~1 GB transient fits once
+    # VGGT is host-offloaded). S>=4096 (the 9216-token L0) keeps the Pallas
+    # flash kernel: its einsum logits would be 42 GB.
     # NOTE: a block-diagonal batched variant for the tiny temporal sequences
     # (_blockdiag_small_seq) measured SLOWER than the plain einsum on v5e
     # (26 vs 23 ms at B=18432 S=25 — XLA already handles the padding well);
     # it is kept (tested) but not routed automatically.
+    long_seq = q.shape[1] >= 4096
     if impl == "builtin" or (impl == "auto" and long_seq and on_accel):
         return _builtin_flash(q, k, v, scale)
     if impl == "flash":
