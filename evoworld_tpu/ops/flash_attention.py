@@ -40,12 +40,17 @@ def _flash_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale            # (block_q, d)
-    kb = k_ref[0].astype(jnp.float32)                   # (block_k, d)
-    vb = v_ref[0].astype(jnp.float32)
+    # Keep the QK^T and PV matmuls in the INPUT dtype with fp32 accumulation
+    # (preferred_element_type): bf16 x bf16 products are exact in the MXU's
+    # fp32 accumulator, and an fp32 matmul runs at ~1/8 the bf16 MXU rate —
+    # the earlier cast-then-dot version measured ~9x off the FLOP bound at
+    # VGGT's 39k-token global attention.
+    q = q_ref[0]                                        # (block_q, d)
+    kb = k_ref[0]                                       # (block_k, d)
+    vb = v_ref[0]
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )                                                   # (block_q, block_k)
+    ) * scale                                           # (block_q, block_k) f32
     if kv_len % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
         s = jnp.where(col < kv_len, s, _NEG_INF)
@@ -57,7 +62,8 @@ def _flash_kernel(
     m_ref[:] = m_new
     l_ref[:] = l_ref[:] * alpha + p.sum(axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(j == num_kb - 1)
@@ -77,8 +83,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over (B, S, H, D) tensors.
