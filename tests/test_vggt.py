@@ -74,3 +74,28 @@ class TestVGGTConverter:
 
         params, report = convert_vggt_state_dict({})
         assert report  # everything missing is reported, not silently dropped
+
+
+class TestHostOffload:
+    def test_offload_or_fallback_reconstructor_runs(self):
+        """make_reconstructor must work whether or not the backend supports
+        pinned_host memory kinds (the CPU test backend may not); params kept
+        as client numpy exercise the single-transfer path."""
+        from evoworld_tpu.models.vggt.model import _try_host_offload, make_reconstructor
+        from evoworld_tpu.models.weights import host_random_params
+
+        model = VGGT(TINY)
+        imgs = jnp.zeros((1, 2, 56, 70, 3))
+        shapes = jax.eval_shape(lambda k: model.init(k, imgs), jax.random.key(0))
+        params = host_random_params(shapes, 0, jnp.float32, as_numpy=True)
+
+        moved, dev_sh = _try_host_offload(params)
+        leaves = jax.tree.leaves(moved)
+        assert leaves, "offload dropped params"
+        if dev_sh is not None:
+            assert leaves[0].sharding.memory_kind == "pinned_host"
+
+        recon = make_reconstructor(model, params, jnp.float32)
+        out = recon(np.zeros((2, 48, 64, 3), np.float32))
+        assert out["world_points"].shape[0] == 2
+        assert np.isfinite(np.asarray(out["extrinsic"])).all()
