@@ -175,3 +175,57 @@ class TestSplatBruteForceParity:
         exact = both & np.isclose(got_d, zbuf, rtol=1e-6)
         agree = np.isclose(np.asarray(pano)[exact], cbuf[exact], atol=1e-6).all(-1)
         assert agree.mean() > 0.995, agree.mean()
+
+
+class TestDeepLoop:
+    def test_five_segment_loop(self):
+        """Segment math must generalize past the reference's 3 segments
+        (reference --num_segments is a free parameter,
+        unified_loop_consistency.py:410)."""
+        from evoworld_tpu.diffusion.pipeline import PipelineConfig, make_random_pipeline
+        from evoworld_tpu.models.unet import UNetConfig
+        from evoworld_tpu.models.vae import VAEConfig
+        from evoworld_tpu.models.clip import CLIPVisionConfig
+        from evoworld_tpu.loop.navigator import Navigator
+        from evoworld_tpu.loop.unified import UnifiedLoop, LoopConfig
+
+        f = 3
+        cfg = PipelineConfig(height=64, width=128, num_frames=f, num_steps=1,
+                             decode_chunk=3, encode_chunk=2)
+        pipe = make_random_pipeline(
+            cfg,
+            unet_config=UNetConfig(block_out_channels=(32, 32, 32, 32),
+                                   num_attention_heads=(2, 2, 2, 2)),
+            vae_config=VAEConfig(block_out_channels=(32, 32, 32, 32)),
+            clip_config=CLIPVisionConfig(hidden_size=32, num_layers=1,
+                                         num_heads=2, mlp_dim=64),
+            compute_dtype=jnp.float32,
+        )
+        nav = Navigator(pipe, num_frames=f)
+
+        def stub_reconstructor(pers):
+            s = pers.shape[0]
+            h, w = 8, 12
+            rays = equirect_ray_grid(h, w)
+            return {
+                "world_points": jnp.broadcast_to(rays[None] * 3.0, (s, h, w, 3)),
+                "conf": jnp.ones((s, h, w)),
+                "extrinsic": jnp.broadcast_to(jnp.eye(4)[:3], (s, 3, 4)),
+                "colors": jnp.ones((s, h, w, 3)) * 0.5,
+            }
+
+        segs = 5
+        loop = UnifiedLoop(
+            nav, stub_reconstructor,
+            LoopConfig(num_segments=segs, num_frames=f, num_target_view=f - 1,
+                       pers_height=12, pers_width=18),
+        )
+        n_poses = segs * (f - 1) + f + 5
+        poses = np.zeros((n_poses, 6), np.float32)
+        poses[:, 2] = np.arange(n_poses) * 0.4
+        out = loop.run_episode(jnp.zeros((64, 128, 3)), poses * 0.1, poses, jax.random.key(0))
+        assert len(out["segments"]) == segs
+        assert len(out["memories"]) == segs - 1
+        for seg in out["segments"][1:]:
+            assert seg.shape == (f - 1, 64, 128, 3)
+            assert np.isfinite(np.asarray(seg)).all()
