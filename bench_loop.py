@@ -18,18 +18,19 @@ import numpy as np
 
 
 def main():
+    small = "--small" in sys.argv
     try:
-        _run("--small" in sys.argv)
+        _run(small)
     except Exception as exc:  # noqa: BLE001
         # Safety net so the driver always records a number (e.g. if the TPU
-        # worker is mid-recovery). The full-scale path is expected to pass:
-        # the round-1 blockers (params baked as 2.3 GB of HLO constants; VGGT
-        # resident in HBM during denoise) were fixed in vggt/model.py.
-        # Fall back in a FRESH interpreter — the failed attempt's arrays
-        # still hold device memory in this one.
+        # worker is mid-recovery). Fall back ONCE, in a FRESH interpreter —
+        # the failed attempt's arrays still hold device memory in this one.
+        # A failing --small run must terminate, not respawn itself.
         import traceback
 
         traceback.print_exc()
+        if small:
+            raise
         print(f"# full-scale loop failed ({type(exc).__name__}); falling back to --small", file=sys.stderr)
         import subprocess
 

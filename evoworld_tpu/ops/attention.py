@@ -44,6 +44,7 @@ def _blockdiag_small_seq(
     drops ~4x. The (group x) extra matmul FLOPs are noise at these sizes.
     """
     b, s, h, d = q.shape
+    assert s <= pad_to, f"sequence {s} exceeds pad_to {pad_to}"
     g = group
     pb = (g - b % g) % g
     ps = pad_to - s

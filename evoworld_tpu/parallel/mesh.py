@@ -117,24 +117,11 @@ def zero_shard_specs(tree, mesh: Mesh, min_size: int = 1 << 16):
     return jax.tree.map(rule, tree)
 
 
-def shard_opt_state_zero1(opt_state, params_shardings, mesh: Mesh):
+def shard_opt_state_zero1(opt_state, mesh: Mesh):
     """ZeRO-1 analog: shard Adam moments over the data axis where possible.
 
     Moment tensors whose leading dim divides the data-axis size get P("data",
-    ...) on dim 0; scalars and small leaves replicate. Falls back to the
-    parameter sharding for anything shaped like a parameter.
+    ...) on dim 0; scalars and small leaves replicate. Same policy as the
+    ZeRO-2 gradient specs — one rule, applied to different trees.
     """
-    data_size = mesh.shape["data"]
-
-    def rule(leaf):
-        if (
-            hasattr(leaf, "ndim")
-            and leaf.ndim >= 1
-            and leaf.size >= (1 << 16)
-            and leaf.shape[0] % data_size == 0
-        ):
-            spec = ["data"] + [None] * (leaf.ndim - 1)
-            return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
-
-    return jax.tree.map(rule, opt_state)
+    return zero_shard_specs(opt_state, mesh)

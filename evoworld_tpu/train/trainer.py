@@ -137,7 +137,15 @@ def train(
 ):
     """Run the training loop; returns the final TrainState."""
     optimizer = make_optimizer(config, unet_params)
-    state = TrainState(unet_params, optimizer.init(unet_params), jnp.zeros((), jnp.int32))
+    opt_state = optimizer.init(unet_params)
+    if mesh is not None:
+        # ZeRO-1: park Adam moments data-axis-sharded (reference default,
+        # config/deepspeed_o1_4gpu.yaml zero_stage: 1). GSPMD keeps the
+        # sharded layout through the jitted update.
+        from evoworld_tpu.parallel.mesh import shard_opt_state_zero1
+
+        opt_state = jax.device_put(opt_state, shard_opt_state_zero1(opt_state, mesh))
+    state = TrainState(unet_params, opt_state, jnp.zeros((), jnp.int32))
 
     ckpt = CheckpointManager(
         os.path.join(trainer_config.output_dir, "checkpoints"),

@@ -35,29 +35,7 @@ def flash_with_blocks(q, k, v, scale, bq, bk):
     return jnp.swapaxes(out, 1, 2)
 
 
-def blockdiag_small_seq(q, k, v, scale, group=4, pad_to=32):
-    """Batch `group` independent length-S sequences into one attention of
-    length group*pad_to with a block-diagonal mask. Exact (masked softmax),
-    trades (group x) MXU compute waste for lane-aligned layouts."""
-    b, s, h, d = q.shape
-    g = group
-    pb = (g - b % g) % g
-    ps = pad_to - s
-    qp = jnp.pad(q, ((0, pb), (0, ps), (0, 0), (0, 0)))
-    kp = jnp.pad(k, ((0, pb), (0, ps), (0, 0), (0, 0)))
-    vp = jnp.pad(v, ((0, pb), (0, ps), (0, 0), (0, 0)))
-    bb = qp.shape[0] // g
-    qg = qp.reshape(bb, g * pad_to, h, d)
-    kg = kp.reshape(bb, g * pad_to, h, d)
-    vg = vp.reshape(bb, g * pad_to, h, d)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qg, kg).astype(jnp.float32) * scale
-    blk = jnp.arange(g * pad_to) // pad_to
-    tok = jnp.arange(g * pad_to) % pad_to
-    mask = (blk[:, None] == blk[None, :]) & (tok[None, :] < s)
-    logits = jnp.where(mask, logits, -jnp.inf)
-    probs = jax.nn.softmax(logits, axis=-1).astype(vg.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vg)
-    return out.reshape(bb * g, pad_to, h, d)[:b, :s]
+from evoworld_tpu.ops.attention import _blockdiag_small_seq as blockdiag_small_seq
 
 
 def main():
@@ -72,7 +50,7 @@ def main():
     # --- spatial L0 flash block sweep --------------------------------
     scale = 1.0 / 8.0
     q0 = jax.random.normal(key, (50, 9216, 5, 64), jnp.bfloat16)
-    for bq, bk in []:
+    for bq, bk in [(512, 512), (512, 1024), (1024, 1024)]:  # larger K tiles fail VMEM
         if 9216 % bq or 9216 % bk:
             continue
         fn = jax.jit(lambda q, bq=bq, bk=bk: flash_with_blocks(q, q, q, scale, bq, bk))
@@ -108,7 +86,7 @@ def main():
     fn = jax.jit(lambda q: multi_head_attention(q, q, q, impl="xla"))
     timeit("temporal L0 xla", fn, qt)
     for g in (2, 4, 8):
-        fn = jax.jit(lambda q, g=g: blockdiag_small_seq(q, q, q, 1/8.0, group=g))
+        fn = jax.jit(lambda q, g=g: blockdiag_small_seq(q, q, q, 1 / 8.0, group=g))
         timeit(f"temporal L0 blockdiag g={g}", fn, qt)
 
 
