@@ -29,7 +29,6 @@ from PIL import Image
 
 from evoworld_tpu.cli.common import logger, parse_config
 from evoworld_tpu.eval.harness import FeatureNets, calculate_all_metrics
-from evoworld_tpu.eval.metrics import batch_video_metrics
 
 
 def _load_metric_weights(weights_dir: str) -> dict:
@@ -88,15 +87,14 @@ def main(argv=None):
 
     nets = FeatureNets(_load_metric_weights(getattr(config.runtime, "metric_weights_dir", "")))
     scores = calculate_all_metrics(gen, gt, nets=nets)
-    # Convenience flat keys on top of the reference structure.
-    quick = batch_video_metrics(gen, gt)
     scores["num_videos"] = int(gen.shape[0])
 
     out_path = os.path.join(root, "eval_score.json")
     with open(out_path, "w") as f:
         json.dump(scores, f, indent=2)
     logger.info(
-        f"wrote {out_path}: psnr={quick['psnr']:.3f} ssim={quick['ssim']:.4f} "
+        f"wrote {out_path}: psnr={scores['psnr']['value_mean']:.3f} "
+        f"ssim={scores['ssim']['value_mean']:.4f} "
         f"lpips={scores['lpips']['value_mean']:.4f} "
         f"latent_mse={scores['latent_mse']['value_mean']:.5f}"
     )

@@ -57,7 +57,12 @@ def main(argv=None):
     )
 
     # Validation: render a clip on the first episode and save a GT|generated
-    # side-by-side GIF (reference train_evoworld.py:771-875).
+    # side-by-side GIF (reference train_evoworld.py:771-875). The tracker is
+    # created ONCE — per-call construction would reset its wall-clock origin.
+    from evoworld_tpu.utils.trackers import JSONLTracker
+
+    val_tracker = JSONLTracker(rt.save_dir, run_name="validation")
+
     def validation_fn(state, step):
         import numpy as np
 
@@ -83,12 +88,10 @@ def main(argv=None):
         # Score the rollout against GT and stream to the tracker sink
         # (reference logs validation media to wandb/tb, :771-875).
         from evoworld_tpu.eval.metrics import batch_video_metrics
-        from evoworld_tpu.utils.trackers import JSONLTracker
 
         scores = batch_video_metrics(np.asarray(frames)[None], gt[None])
-        tracker = JSONLTracker(rt.save_dir, run_name="validation")
-        tracker.log(step, {"val_psnr": scores["psnr"], "val_ssim": scores["ssim"]})
-        tracker.log_artifact(step, "validation_gif", out)
+        val_tracker.log(step, {"val_psnr": scores["psnr"], "val_ssim": scores["ssim"]})
+        val_tracker.log_artifact(step, "validation_gif", out)
 
     state = train(
         pipeline.unet,

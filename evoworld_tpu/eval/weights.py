@@ -22,15 +22,12 @@ from typing import Mapping, Tuple
 
 import numpy as np
 
-from evoworld_tpu.models.weights import _set
+from evoworld_tpu.models.weights import _set, _t_conv
 
-
-def _t_conv2d(w: np.ndarray) -> np.ndarray:
-    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))   # OIHW -> HWIO
-
-
-def _t_conv3d(w: np.ndarray) -> np.ndarray:
-    return np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0))  # OITHW -> THWIO
+# One layout-transform helper for the whole repo (models/weights._t_conv
+# handles both OIHW->HWIO and OITHW->THWIO).
+_t_conv2d = _t_conv
+_t_conv3d = _t_conv
 
 
 class _Conv:

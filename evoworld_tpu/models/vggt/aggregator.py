@@ -53,6 +53,11 @@ class AggregatorConfig:
     # Per-frame DINOv2-style ViT encoder applied before the alternating
     # attention (upstream uses a full DINOv2 ViT-L as patch_embed).
     patch_encoder_depth: int = 24
+    # DINOv2 backbone's own cls + register tokens (dinov2_vitl14_reg has 4
+    # registers). They ride through the encoder blocks as keys/values —
+    # every patch feature depends on them — and are dropped afterwards
+    # (upstream consumes x_norm_patchtokens).
+    dino_num_register_tokens: int = 4
 
 
 class ViTBlock(nn.Module):
@@ -174,10 +179,31 @@ class Aggregator(nn.Module):
             pos = jax.image.resize(pos.reshape(bh, bw, d), (ph, pw, d), "bilinear").reshape(ph * pw, d)
         patches = patches + pos.astype(patches.dtype)[None]
 
-        # Frame-local ViT encoder (DINOv2 role): runs on (B*S, P, C),
-        # scanned over depth (params stacked on a leading layer axis), with
-        # DINOv2's final norm (upstream consumes x_norm_patchtokens).
+        # Frame-local ViT encoder (DINOv2 role): runs on (B*S, 1+R+P, C) —
+        # the backbone's cls + register tokens participate in every block's
+        # attention (dinov2_vitl14_reg semantics; dropping them changes every
+        # patch feature) — scanned over depth (params stacked on a leading
+        # layer axis), with DINOv2's final norm; only the patch tokens
+        # continue (upstream consumes x_norm_patchtokens).
         if cfg.patch_encoder_depth > 0:
+            n_dino_special = 1 + cfg.dino_num_register_tokens
+            cls_tok = self.param(
+                "dino_cls_token", nn.initializers.normal(0.02), (1, d), jnp.float32
+            )
+            pos_cls = self.param(
+                "pos_embed_cls", nn.initializers.zeros, (1, d), jnp.float32
+            )
+            dino_reg = self.param(
+                "dino_register_tokens", nn.initializers.normal(0.02),
+                (cfg.dino_num_register_tokens, d), jnp.float32,
+            )
+            special_dino = jnp.concatenate(
+                [(cls_tok + pos_cls), dino_reg], axis=0
+            ).astype(patches.dtype)
+            patches = jnp.concatenate(
+                [jnp.broadcast_to(special_dino[None], (b * s,) + special_dino.shape), patches],
+                axis=1,
+            )
             dino_scan = nn.scan(
                 DinoBlock,
                 variable_axes={"params": 0},
@@ -187,7 +213,7 @@ class Aggregator(nn.Module):
             patches, _ = dino_scan(d, cfg.num_heads, cfg.mlp_ratio, name="dino_blocks")(patches, None)
             patches = nn.LayerNorm(dtype=jnp.float32, name="dino_norm")(
                 patches.astype(jnp.float32)
-            ).astype(patches.dtype)
+            ).astype(patches.dtype)[:, n_dino_special:]
 
         # Camera + register tokens; frame 0 (the query frame) gets its own
         # set so the model can identify the reference view (upstream

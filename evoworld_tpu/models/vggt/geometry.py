@@ -43,8 +43,12 @@ def pose_encoding_to_extri_intri(pose_enc: jnp.ndarray, image_hw: tuple[int, int
     height, width = image_hw
     t = pose_enc[:, 0:3]
     quat = pose_enc[:, 3:7]
-    fov_h = pose_enc[:, 7]
-    fov_w = pose_enc[:, 8]
+    # Clamp FOVs into (0, pi): a no-op for any trained checkpoint (VGGT fovs
+    # sit near 0.7 rad) but keeps intrinsics well-conditioned under the
+    # random-weight smoke path, where raw head outputs near 0 (or negative)
+    # would otherwise produce exploding / negative focal lengths.
+    fov_h = jnp.clip(jnp.abs(pose_enc[:, 7]), 0.05, 3.1)
+    fov_w = jnp.clip(jnp.abs(pose_enc[:, 8]), 0.05, 3.1)
     rot = quat_to_rotmat(quat)
     extrinsic = jnp.concatenate([rot, t[:, :, None]], axis=-1)
 

@@ -82,8 +82,8 @@ class _Converter:
             return
         _set(self.out, dst_name, tf(v) if tf else v)
 
-    def block(self, src_prefix: str, dst_prefix: str) -> dict:
-        """Convert one ViT block; returns the leaf dict (also placed)."""
+    def block(self, src_prefix: str) -> dict:
+        """Convert one ViT block; returns the leaf dict (stacked by callers)."""
         leaf: dict = {}
         for src_name, rel, tf in _vit_block_pairs(src_prefix):
             v = self.take(src_name)
@@ -92,18 +92,11 @@ class _Converter:
                     self.report.append(f"missing {src_name}")
                 continue
             _set(leaf, rel, tf(v) if tf else v)
-        if dst_prefix:
-            _set(self.out, dst_prefix, None)
-            node = self.out
-            keys = dst_prefix.split("/")
-            for k in keys[:-1]:
-                node = node[k]
-            node[keys[-1]] = leaf
         return leaf
 
     def stack_blocks(self, src_fmt: str, dst: str, indices: Sequence[int]) -> None:
         """Stack per-layer block weights on a leading axis (nn.scan layout)."""
-        layers = [self.block(src_fmt.format(i), "") for i in indices]
+        layers = [self.block(src_fmt.format(i)) for i in indices]
         if not layers or not layers[0]:
             self.report.append(f"missing all layers for {src_fmt}")
             return
@@ -181,12 +174,18 @@ def convert_vggt_state_dict(
     # --- DINOv2 patch encoder ---------------------------------------------
     c.put(f"{agg}.patch_embed.patch_embed.proj.weight", f"{agg}/patch_embed/kernel", _t_conv)
     c.put(f"{agg}.patch_embed.patch_embed.proj.bias", f"{agg}/patch_embed/bias")
-    # Upstream pos_embed is (1, 1+P, C) with a cls row; our encoder carries
-    # no cls token (VGGT consumes patch tokens only), so the cls row drops.
+    # Upstream pos_embed is (1, 1+P, C): row 0 is the cls token's position
+    # embedding, the rest the patch grid. cls + register tokens ride through
+    # the encoder blocks (dinov2_vitl14_reg), so all three map.
     c.put(f"{agg}.patch_embed.pos_embed", f"{agg}/pos_embed",
           lambda v: v.reshape(v.shape[-2], v.shape[-1])[1:])
-    # cls_token / mask_token: intentionally dropped (patch-token-only path).
-    c.take(f"{agg}.patch_embed.cls_token")
+    c.put(f"{agg}.patch_embed.pos_embed", f"{agg}/pos_embed_cls",
+          lambda v: v.reshape(v.shape[-2], v.shape[-1])[:1])
+    c.put(f"{agg}.patch_embed.cls_token", f"{agg}/dino_cls_token",
+          lambda v: v.reshape(-1, v.shape[-1]))
+    c.put(f"{agg}.patch_embed.register_tokens", f"{agg}/dino_register_tokens",
+          lambda v: v.reshape(-1, v.shape[-1]))
+    # mask_token: training-only, intentionally dropped.
     c.take(f"{agg}.patch_embed.mask_token")
     c.put(f"{agg}.patch_embed.norm.weight", f"{agg}/dino_norm/scale")
     c.put(f"{agg}.patch_embed.norm.bias", f"{agg}/dino_norm/bias")

@@ -83,13 +83,18 @@ def trainable_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(to_mask, params)
 
 
-def make_optimizer(config: TrainConfig, params) -> optax.GradientTransformation:
+def make_lr_schedule(config: TrainConfig) -> optax.Schedule:
+    """The optimizer's LR schedule — single source of truth, also used by the
+    trainer's metric logging (keeps the logged lr honest)."""
     if config.lr_schedule == "cosine":
-        schedule = optax.warmup_cosine_decay_schedule(
+        return optax.warmup_cosine_decay_schedule(
             0.0, config.learning_rate, config.warmup_steps, config.total_steps
         )
-    else:
-        schedule = optax.constant_schedule(config.learning_rate)
+    return optax.constant_schedule(config.learning_rate)
+
+
+def make_optimizer(config: TrainConfig, params) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(config)
     mask = trainable_mask(params)
     labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
     train_tx = optax.chain(

@@ -170,14 +170,9 @@ def train(
     from evoworld_tpu.utils.trackers import JSONLTracker
 
     tracker = JSONLTracker(trainer_config.output_dir)
-    if config.lr_schedule == "cosine":
-        import optax
+    from evoworld_tpu.train.train_step import make_lr_schedule
 
-        lr_schedule = optax.warmup_cosine_decay_schedule(
-            0.0, config.learning_rate, config.warmup_steps, config.total_steps
-        )
-    else:
-        lr_schedule = lambda _: config.learning_rate
+    lr_schedule = make_lr_schedule(config)
 
     running = 0.0
     t0 = time.time()

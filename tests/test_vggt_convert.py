@@ -35,6 +35,7 @@ PATCH = 14
 TINY = VGGTConfig(
     aggregator=AggregatorConfig(
         embed_dim=C, depth=DEPTH, num_heads=HEADS, num_register_tokens=REG,
+        dino_num_register_tokens=REG,
         output_layers=TAPS, patch_encoder_depth=DINO, base_patch_hw=(2, 2),
     ),
     camera_trunk_depth=TRUNK,
@@ -107,6 +108,7 @@ def make_synthetic_upstream_state_dict(seed: int = 0) -> dict:
     d2 = 2 * C
     sd = {
         "aggregator.patch_embed.cls_token": rng.normal(size=(1, 1, C)),
+        "aggregator.patch_embed.register_tokens": rng.normal(size=(1, REG, C)),
         "aggregator.patch_embed.mask_token": rng.normal(size=(1, C)),
         "aggregator.patch_embed.pos_embed": rng.normal(size=(1, 1 + 4, C)),
         "aggregator.patch_embed.patch_embed.proj.weight": rng.normal(size=(C, 3, PATCH, PATCH)),
