@@ -101,3 +101,34 @@ class TestTransformerSpatioTemporalParity:
             image_only_indicator=jnp.asarray(ind),
         )
         np.testing.assert_allclose(np.asarray(jy), ty, rtol=1e-3, atol=2e-4)
+
+
+class TestVAEAttentionParity:
+    def test_matches_torch(self):
+        """VAE mid-block attention semantics (GroupNorm placement, 1/sqrt(d)
+        scale, head split order, residual) vs the independent torch twin."""
+        from evoworld_tpu.models.vae import VAEAttention
+        from tests.torch_svd_blocks import VAEMidAttention
+
+        ch, head_dim = 64, 32
+        tmod = VAEMidAttention(ch, head_dim=head_dim)
+        _seed_torch(tmod, seed=7)
+        sd = _torch_state(tmod)
+
+        params = {"params": {
+            "group_norm": {"norm": {"scale": sd["group_norm.weight"],
+                                    "bias": sd["group_norm.bias"]}},
+            "to_q": {"kernel": sd["to_q.weight"].T, "bias": sd["to_q.bias"]},
+            "to_k": {"kernel": sd["to_k.weight"].T, "bias": sd["to_k.bias"]},
+            "to_v": {"kernel": sd["to_v.weight"].T, "bias": sd["to_v.bias"]},
+            "to_out": {"kernel": sd["to_out.0.weight"].T, "bias": sd["to_out.0.bias"]},
+        }}
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, 4, 6, ch)).astype(np.float32)
+
+        ours = VAEAttention(ch, head_dim=head_dim).apply(
+            jax.tree.map(jnp.asarray, params), jnp.asarray(x)
+        )
+        with torch.no_grad():
+            want = tmod(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), want, atol=2e-5)

@@ -284,3 +284,36 @@ class TransformerSpatioTemporalModel(nn.Module):
         h = self.proj_out(h)
         h = h.reshape(bf, height, width, ch).permute(0, 3, 1, 2)
         return h + residual
+
+
+class VAEMidAttention(nn.Module):
+    """diffusers Attention as configured in the VAE mid blocks
+    (unet_3d_blocks.py MidBlockTemporalDecoder / SD VAE: GroupNorm(32,
+    eps=1e-6) on the spatial map, qkv+out with bias, residual connection,
+    heads = channels // attention_head_dim)."""
+
+    def __init__(self, ch, head_dim=512):
+        super().__init__()
+        self.ch = ch
+        self.heads = max(ch // head_dim, 1)
+        self.group_norm = nn.GroupNorm(32, ch, eps=1e-6)
+        self.to_q = nn.Linear(ch, ch)
+        self.to_k = nn.Linear(ch, ch)
+        self.to_v = nn.Linear(ch, ch)
+        self.to_out = nn.Sequential(nn.Linear(ch, ch))
+
+    def forward(self, x):
+        # x: (N, C, H, W)
+        n, c, height, width = x.shape
+        residual = x
+        h = self.group_norm(x).permute(0, 2, 3, 1).reshape(n, height * width, c)
+        dim = c // self.heads
+
+        def split(t):
+            return t.reshape(n, -1, self.heads, dim).transpose(1, 2)
+
+        q, k, v = split(self.to_q(h)), split(self.to_k(h)), split(self.to_v(h))
+        attn = torch.softmax(q @ k.transpose(-1, -2) / dim ** 0.5, dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(n, -1, c)
+        out = self.to_out(out).reshape(n, height, width, c).permute(0, 3, 1, 2)
+        return out + residual
