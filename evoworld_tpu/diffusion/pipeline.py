@@ -286,22 +286,20 @@ def make_random_pipeline(
     vae = AutoencoderKLTemporal(vae_config or VAEConfig())
     clip_tower = CLIPVisionTower(clip_config or CLIPVisionConfig())
 
-    f, h, w = config.num_frames, config.latent_height, config.latent_width
-    key = jax.random.key(seed)
-    k1, k2, k3 = jax.random.split(key, 3)
-
     from evoworld_tpu.models.weights import host_random_params
 
-    def init_or_zeros(fn):
+    def init_or_zeros(fn, model_salt):
         # Shapes via eval_shape; values host-side. Device-side flax init of a
         # 1.5B tree is a pathological compile on remote backends, and random
         # weights only need to be deterministic, not distribution-faithful.
+        # model_salt decorrelates the three models' streams (same seed would
+        # make same-shaped leaves bitwise identical across unet/vae/clip).
         shapes = jax.eval_shape(fn, jax.random.key(0))
         if zero_init:
             # Store in compute dtype: a full fp32 1.5B-param tree alone is
             # 6 GB of HBM — inference keeps everything in bf16.
             return jax.tree.map(lambda s: jnp.zeros(s.shape, compute_dtype), shapes)
-        return host_random_params(shapes, seed, compute_dtype)
+        return host_random_params(shapes, seed * 3 + model_salt, compute_dtype)
 
     unet_params = init_or_zeros(
         lambda k: unet.init(
@@ -310,13 +308,16 @@ def make_random_pipeline(
             jnp.asarray(1.0),
             jnp.zeros((1, 1, 1024), compute_dtype),
             jnp.zeros((1, 3)),
-        )
+        ),
+        model_salt=0,
     )
     vae_params = init_or_zeros(
-        lambda k: vae.init(jax.random.split(k)[0], jnp.zeros((2, 64, 64, 3), compute_dtype), 2)
+        lambda k: vae.init(k, jnp.zeros((2, 64, 64, 3), compute_dtype), 2),
+        model_salt=1,
     )
     clip_params = init_or_zeros(
-        lambda k: clip_tower.init(jax.random.split(k)[1], jnp.zeros((1, 224, 224, 3), compute_dtype))
+        lambda k: clip_tower.init(k, jnp.zeros((1, 224, 224, 3), compute_dtype)),
+        model_salt=2,
     )
     params = {"unet": unet_params, "vae": vae_params, "clip": clip_params}
     return PanoDiffusionPipeline(unet, vae, clip_tower, params, config, compute_dtype, mesh=mesh)

@@ -19,8 +19,11 @@ def rotation_between_vectors(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix taking direction u to direction v (Rodrigues formula).
 
     Degenerate cases (zero-length inputs, parallel vectors) return identity;
-    antiparallel vectors return a 180-degree rotation about a perpendicular
-    axis, matching the reference's special-casing.
+    antiparallel vectors return a TRUE 180-degree rotation (2 pp^T - I about
+    a perpendicular axis p). Known deviation: the reference's special case
+    (reproject_vggt_open3d_utils.py:1161, `np.eye(3) - 2*np.outer(w, w)`) is
+    a det=-1 reflection that maps u to +u instead of -u — a bug we fix
+    rather than reproduce.
     """
     u = u.astype(jnp.float32)
     v = v.astype(jnp.float32)
@@ -30,7 +33,7 @@ def rotation_between_vectors(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     safe_nv = jnp.maximum(nv, 1e-15)
     u_hat = u / safe_nu
     v_hat = v / safe_nv
-    dot = jnp.clip(jnp.dot(u_hat, v_hat), -1.0, 1.0)
+    dot = jnp.clip(jnp.dot(u_hat, v_hat, precision="highest"), -1.0, 1.0)
 
     w = jnp.cross(u_hat, v_hat)
     w_norm = jnp.linalg.norm(w)
@@ -47,11 +50,12 @@ def rotation_between_vectors(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     kk = jnp.matmul(k, k, precision="highest")
     general = jnp.eye(3) + jnp.sin(angle) * k + (1.0 - jnp.cos(angle)) * kk
 
-    # Antiparallel: 180-degree rotation about an axis perpendicular to u.
+    # Antiparallel: 180-degree rotation about an axis perpendicular to u
+    # (R = 2 pp^T - I has det=+1 and maps u -> -u).
     alt = jnp.where(jnp.abs(u_hat[0]) > 0.9, jnp.array([0.0, 1.0, 0.0]), jnp.array([1.0, 0.0, 0.0]))
     perp = jnp.cross(u_hat, alt)
     perp = perp / jnp.maximum(jnp.linalg.norm(perp), 1e-15)
-    flip = jnp.eye(3) - 2.0 * jnp.outer(perp, perp)
+    flip = 2.0 * jnp.outer(perp, perp) - jnp.eye(3)
 
     out = jnp.where(jnp.isclose(dot, 1.0), jnp.eye(3), jnp.where(jnp.isclose(dot, -1.0), flip, general))
     return jnp.where((nu < 1e-15) | (nv < 1e-15), jnp.eye(3), out)
@@ -95,7 +99,7 @@ def kabsch_similarity(gt_centers: jnp.ndarray, pred_centers: jnp.ndarray):
     Returns:
         theta (scalar), rotation (3, 3), translation (3,).
     """
-    gt = gt_centers.astype(jnp.float64) if gt_centers.dtype == jnp.float64 else gt_centers.astype(jnp.float32)
+    gt = gt_centers.astype(jnp.float32)
     pred = pred_centers.astype(gt.dtype)
     theta = jnp.sum(gt * pred) / jnp.maximum(jnp.sum(pred * pred), 1e-15)
     pred_s = theta * pred

@@ -195,6 +195,19 @@ class TestAlignment:
         np.testing.assert_allclose(got0, b[0], atol=1e-4)
         np.testing.assert_allclose(gotn, b[-1], atol=1e-4)
 
+    def test_antiparallel_is_true_rotation(self):
+        """u -> -u must give a det=+1 rotation mapping u to -u (the
+        reference's special case at reproject_vggt_open3d_utils.py:1161 is a
+        det=-1 reflection mapping u to +u — a bug we deliberately fix)."""
+        from evoworld_tpu.geometry.alignment import rotation_between_vectors
+
+        for u in ([1.0, 0.0, 0.0], [0.2, -0.7, 0.4]):
+            u = np.asarray(u, np.float32)
+            r = np.asarray(rotation_between_vectors(jnp.asarray(u), jnp.asarray(-u)))
+            np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+            np.testing.assert_allclose(r @ u, -u, atol=1e-5)
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+
     def test_kabsch_exact_for_scale_translation(self):
         # The reference's scale estimator theta = <gt,pred>/<pred,pred> is only
         # exact when no rotation is present; match that contract.
