@@ -367,6 +367,10 @@ class TransformerSpatioTemporalModel(nn.Module):
             t_emb.astype(x.dtype)
         )[:, None, :]
 
+        # One shared blender across layers (diffusers shares time_mixer too;
+        # creating it inside the loop would also be a duplicate flax name at
+        # num_layers > 1).
+        blender = AlphaBlender(name="time_mixer")
         for i in range(self.num_layers):
             h = BasicTransformerBlock(
                 inner, self.num_heads, self.head_dim, cross_dim=self.cross_dim,
@@ -377,7 +381,7 @@ class TransformerSpatioTemporalModel(nn.Module):
                 inner, self.num_heads, self.head_dim, cross_dim=self.cross_dim,
                 name=f"temporal_transformer_blocks_{i}",
             )(h_mix, num_frames, time_context)
-            h = AlphaBlender(name="time_mixer")(
+            h = blender(
                 x_spatial=h.reshape(batch, num_frames, seq, inner),
                 x_temporal=h_mix.reshape(batch, num_frames, seq, inner),
                 image_only_indicator=(

@@ -68,17 +68,19 @@ class CrossAttnBlockSpatioTemporal(nn.Module):
     num_layers: int
     cross_dim: int
     add_downsample: bool
+    transformer_layers: int = 1
 
     @nn.compact
     def __call__(self, x, temb, context, num_frames, image_only_indicator):
         skips = []
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
-            x = SpatioTemporalResBlock(self.out_channels, name=f"resnets_{i}")(
-                x, temb, num_frames, image_only_indicator
-            )
+            x = SpatioTemporalResBlock(
+                self.out_channels, eps=1e-5, temporal_eps=1e-5, name=f"resnets_{i}"
+            )(x, temb, num_frames, image_only_indicator)
             x = TransformerSpatioTemporalModel(
-                self.num_heads, head_dim, cross_dim=self.cross_dim, name=f"attentions_{i}"
+                self.num_heads, head_dim, num_layers=self.transformer_layers,
+                cross_dim=self.cross_dim, name=f"attentions_{i}",
             )(x, context, num_frames, image_only_indicator)
             skips.append(x)
         if self.add_downsample:
@@ -98,9 +100,9 @@ class DownBlockSpatioTemporal(nn.Module):
     def __call__(self, x, temb, num_frames, image_only_indicator):
         skips = []
         for i in range(self.num_layers):
-            x = SpatioTemporalResBlock(self.out_channels, name=f"resnets_{i}")(
-                x, temb, num_frames, image_only_indicator
-            )
+            x = SpatioTemporalResBlock(
+                self.out_channels, eps=1e-5, temporal_eps=1e-5, name=f"resnets_{i}"
+            )(x, temb, num_frames, image_only_indicator)
             skips.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, name="downsamplers_0")(x)
@@ -114,19 +116,21 @@ class MidBlockSpatioTemporal(nn.Module):
     channels: int
     num_heads: int
     cross_dim: int
+    transformer_layers: int = 1
 
     @nn.compact
     def __call__(self, x, temb, context, num_frames, image_only_indicator):
         head_dim = self.channels // self.num_heads
-        x = SpatioTemporalResBlock(self.channels, name="resnets_0")(
-            x, temb, num_frames, image_only_indicator
-        )
+        x = SpatioTemporalResBlock(
+            self.channels, eps=1e-5, temporal_eps=1e-5, name="resnets_0"
+        )(x, temb, num_frames, image_only_indicator)
         x = TransformerSpatioTemporalModel(
-            self.num_heads, head_dim, cross_dim=self.cross_dim, name="attentions_0"
+            self.num_heads, head_dim, num_layers=self.transformer_layers,
+            cross_dim=self.cross_dim, name="attentions_0",
         )(x, context, num_frames, image_only_indicator)
-        x = SpatioTemporalResBlock(self.channels, name="resnets_1")(
-            x, temb, num_frames, image_only_indicator
-        )
+        x = SpatioTemporalResBlock(
+            self.channels, eps=1e-5, temporal_eps=1e-5, name="resnets_1"
+        )(x, temb, num_frames, image_only_indicator)
         return x
 
 
@@ -138,6 +142,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
     num_layers: int
     cross_dim: int
     add_upsample: bool
+    transformer_layers: int = 1
 
     @nn.compact
     def __call__(self, x, skips, temb, context, num_frames, image_only_indicator):
@@ -145,11 +150,12 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips[i]], axis=-1)
-            x = SpatioTemporalResBlock(self.out_channels, name=f"resnets_{i}")(
-                x, temb, num_frames, image_only_indicator
-            )
+            x = SpatioTemporalResBlock(
+                self.out_channels, eps=1e-5, temporal_eps=1e-5, name=f"resnets_{i}"
+            )(x, temb, num_frames, image_only_indicator)
             x = TransformerSpatioTemporalModel(
-                self.num_heads, head_dim, cross_dim=self.cross_dim, name=f"attentions_{i}"
+                self.num_heads, head_dim, num_layers=self.transformer_layers,
+                cross_dim=self.cross_dim, name=f"attentions_{i}",
             )(x, context, num_frames, image_only_indicator)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, name="upsamplers_0")(x)
@@ -166,9 +172,9 @@ class UpBlockSpatioTemporal(nn.Module):
         # `skips`: tuple of num_layers arrays, consumed in order.
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips[i]], axis=-1)
-            x = SpatioTemporalResBlock(self.out_channels, name=f"resnets_{i}")(
-                x, temb, num_frames, image_only_indicator
-            )
+            x = SpatioTemporalResBlock(
+                self.out_channels, eps=1e-5, temporal_eps=1e-5, name=f"resnets_{i}"
+            )(x, temb, num_frames, image_only_indicator)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, name="upsamplers_0")(x)
         return x
@@ -241,6 +247,7 @@ class UNetSpatioTemporal(nn.Module):
                     cfg.layers_per_block,
                     cfg.cross_attention_dim,
                     add_downsample=not is_last,
+                    transformer_layers=cfg.transformer_layers_per_block,
                     name=f"down_blocks_{i}",
                 )(x, emb, context, num_frames, image_only_indicator)
             else:
@@ -256,6 +263,7 @@ class UNetSpatioTemporal(nn.Module):
             cfg.block_out_channels[-1],
             cfg.num_attention_heads[-1],
             cfg.cross_attention_dim,
+            transformer_layers=cfg.transformer_layers_per_block,
             name="mid_block",
         )(x, emb, context, num_frames, image_only_indicator)
 
@@ -272,6 +280,7 @@ class UNetSpatioTemporal(nn.Module):
                     n_layers,
                     cfg.cross_attention_dim,
                     add_upsample=not is_last,
+                    transformer_layers=cfg.transformer_layers_per_block,
                     name=f"up_blocks_{i}",
                 )(x, block_skips, emb, context, num_frames, image_only_indicator)
             else:

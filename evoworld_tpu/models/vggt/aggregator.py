@@ -60,8 +60,38 @@ class AggregatorConfig:
     dino_num_register_tokens: int = 4
 
 
+def rope_2d(t: jnp.ndarray, positions: jnp.ndarray, base: float = 100.0) -> jnp.ndarray:
+    """Upstream VGGT/croco 2D rotary embedding on (B, S, H, Dh) q or k.
+
+    The head dim splits in half: the first half rotates by the token's y
+    coordinate, the second by x; each half uses GPT-NeoX-style rotation
+    (angles repeated twice, rotate-half pairing), frequency base 100
+    (upstream RotaryPositionEmbedding2D, rope_freq=100 for VGGT-1B).
+    positions: (S, 2) integer (y, x); rows of zeros (the special tokens)
+    rotate by angle 0 = identity.
+    """
+    half = t.shape[-1] // 2
+
+    def rope1d(x, pos):
+        dim = x.shape[-1]
+        inv = 1.0 / (base ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+        ang = pos.astype(jnp.float32)[:, None] * inv[None]
+        emb = jnp.concatenate([ang, ang], axis=-1)               # (S, dim)
+        cos = jnp.cos(emb)[None, :, None, :].astype(x.dtype)
+        sin = jnp.sin(emb)[None, :, None, :].astype(x.dtype)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        rot = jnp.concatenate([-x2, x1], axis=-1)
+        return x * cos + rot * sin
+
+    return jnp.concatenate(
+        [rope1d(t[..., :half], positions[:, 0]), rope1d(t[..., half:], positions[:, 1])],
+        axis=-1,
+    )
+
+
 class ViTBlock(nn.Module):
-    """Pre-LN transformer block with optional QK-norm and LayerScale."""
+    """Pre-LN transformer block with optional QK-norm, LayerScale, and
+    (when `positions` is passed) 2D rotary q/k embedding."""
 
     dim: int
     num_heads: int
@@ -70,7 +100,7 @@ class ViTBlock(nn.Module):
     layerscale_init: float
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, positions: jnp.ndarray | None = None) -> jnp.ndarray:
         d = self.dim
         head_dim = d // self.num_heads
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x.astype(jnp.float32)).astype(x.dtype)
@@ -80,6 +110,10 @@ class ViTBlock(nn.Module):
         if self.qk_norm:
             q = nn.LayerNorm(dtype=jnp.float32, name="q_norm")(q.astype(jnp.float32)).astype(x.dtype)
             k = nn.LayerNorm(dtype=jnp.float32, name="k_norm")(k.astype(jnp.float32)).astype(x.dtype)
+        if positions is not None:
+            # Upstream order: q/k norm first, then rotary (vggt Attention).
+            q = rope_2d(q, positions)
+            k = rope_2d(k, positions)
         attn = multi_head_attention(q, k, v).reshape(b, s, d)
         attn = nn.Dense(d, name="proj", dtype=x.dtype)(attn)
         ls1 = self.param("ls1", nn.initializers.constant(self.layerscale_init), (d,), jnp.float32)
@@ -111,20 +145,20 @@ class AlternatingPair(nn.Module):
 
     @nn.compact
     def __call__(self, carry, _):
-        tokens, _unused_tap = carry
+        tokens, _unused_tap, pos_frame, pos_global = carry
         bs, t, d = tokens.shape
         frame_out = ViTBlock(
             self.dim, self.num_heads, self.mlp_ratio, self.qk_norm,
             self.layerscale_init, name="frame",
-        )(tokens)
+        )(tokens, pos_frame)
         glob = frame_out.reshape(self.batch, (bs // self.batch) * t, d)
         glob = ViTBlock(
             self.dim, self.num_heads, self.mlp_ratio, self.qk_norm,
             self.layerscale_init, name="global",
-        )(glob)
+        )(glob, pos_global)
         global_out = glob.reshape(bs, t, d)
         tap = jnp.concatenate([frame_out, global_out], axis=-1)
-        return (global_out, tap), ()
+        return (global_out, tap, pos_frame, pos_global), ()
 
 
 class DinoBlock(nn.Module):
@@ -163,6 +197,14 @@ class Aggregator(nn.Module):
         num_patches = ph * pw
         d = cfg.embed_dim
 
+        # Upstream Aggregator.forward normalizes with the ImageNet
+        # mean/std (registered as non-persistent buffers _resnet_mean/
+        # _resnet_std, so they never appear in the checkpoint): inputs
+        # arrive in [0, 1] from load_and_preprocess_images.
+        mean = jnp.asarray([0.485, 0.456, 0.406], images.dtype)
+        std = jnp.asarray([0.229, 0.224, 0.225], images.dtype)
+        images = (images - mean) / std
+
         x = images.reshape(b * s, height, width, 3)
         patches = nn.Conv(
             d, (cfg.patch_size, cfg.patch_size),
@@ -176,7 +218,8 @@ class Aggregator(nn.Module):
             "pos_embed", nn.initializers.normal(0.02), (bh * bw, d), jnp.float32
         )
         if (ph, pw) != (bh, bw):
-            pos = jax.image.resize(pos.reshape(bh, bw, d), (ph, pw, d), "bilinear").reshape(ph * pw, d)
+            # DINOv2 interpolate_pos_encoding uses bicubic (half-pixel).
+            pos = jax.image.resize(pos.reshape(bh, bw, d), (ph, pw, d), "cubic").reshape(ph * pw, d)
         patches = patches + pos.astype(patches.dtype)[None]
 
         # Frame-local ViT encoder (DINOv2 role): runs on (B*S, 1+R+P, C) —
@@ -239,12 +282,29 @@ class Aggregator(nn.Module):
         tokens = jnp.concatenate([special, patches], axis=1)   # (B*S, T, d)
         t = tokens.shape[1]
 
+        # Token (y, x) positions for the 2D rotary embedding: special tokens
+        # sit at (0, 0) — angle 0, identity rotation — and the patch grid is
+        # shifted by +1 (upstream PositionGetter + patch_start_idx handling).
+        n_special = 1 + cfg.num_register_tokens
+        gy = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0) + 1
+        gx = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1) + 1
+        pos_patch = jnp.stack([gy, gx], axis=-1).reshape(num_patches, 2)
+        pos_frame = jnp.concatenate(
+            [jnp.zeros((n_special, 2), jnp.int32), pos_patch], axis=0
+        )                                                      # (T, 2)
+        pos_global = jnp.tile(pos_frame, (s, 1))               # (S*T, 2)
+
         # Segmented scans over block pairs: one scan per tap segment. Only
         # the carry (current tokens + last pair's frame‖global concat) is
         # materialized — the 4 taps, not all `depth` layers.
         outputs = []
         start = 0
-        carry = (tokens, jnp.zeros(tokens.shape[:-1] + (2 * d,), tokens.dtype))
+        carry = (
+            tokens,
+            jnp.zeros(tokens.shape[:-1] + (2 * d,), tokens.dtype),
+            pos_frame,
+            pos_global,
+        )
         for seg_idx, tap_layer in enumerate(cfg.output_layers):
             seg_len = tap_layer + 1 - start
             pair_scan = nn.scan(

@@ -4,7 +4,7 @@ Contract from the reference call sites (SURVEY.md §2.9;
 /root/reference/unified_loop_consistency.py:352,:366):
   - pose_encoding_to_extri_intri(pose_enc (S, 9), (H, W))
       -> extrinsic (S, 3, 4) w2c, intrinsic (S, 3, 3)
-    where pose_enc = [t (3), quaternion (4, xyzw? -- wxyz here), fov (2)]
+    where pose_enc = [t (3), quaternion (4, scalar-last xyzw), fov (2)]
     ("absT_quaR_FoV" encoding of upstream VGGT).
   - unproject_depth_map_to_point_map(depth (S, H, W, 1), extrinsic,
       intrinsic) -> (S, H, W, 3) world points.

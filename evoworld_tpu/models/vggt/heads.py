@@ -68,7 +68,11 @@ class CameraHead(nn.Module):
 
             @nn.compact
             def __call__(self, h, _):
-                return ViTBlock(self.dim, self.num_heads, 4.0, True, 0.01, name="block")(h), ()
+                # Upstream camera_head builds its trunk with the Block
+                # DEFAULTS: qk_norm=False (the aggregator's alternating
+                # blocks are the ones with qk_norm=True) — the real
+                # checkpoint has no trunk q_norm/k_norm weights.
+                return ViTBlock(self.dim, self.num_heads, 4.0, False, 0.01, name="block")(h), ()
 
         trunk = nn.scan(
             TrunkStep,
@@ -142,7 +146,10 @@ class FeatureFusionBlock(nn.Module):
 
         x = res_unit(x, "res2")
         n, _, _, c = x.shape
-        x = jax.image.resize(x, (n, out_hw[0], out_hw[1], c), "bilinear")
+        # Upstream custom_interpolate: bilinear with align_corners=True.
+        from evoworld_tpu.ops.resize import resize_bilinear_align_corners
+
+        x = resize_bilinear_align_corners(x, out_hw)
         return nn.Conv(f, (1, 1), name="out_conv", dtype=x.dtype)(x)
 
 
@@ -204,7 +211,9 @@ class DPTHead(nn.Module):
         )
 
         x = nn.Conv(cfg.features // 2, (3, 3), padding=1, name="output_conv1", dtype=x.dtype)(x)
-        x = jax.image.resize(x, (n, height, width, cfg.features // 2), "bilinear")
+        from evoworld_tpu.ops.resize import resize_bilinear_align_corners
+
+        x = resize_bilinear_align_corners(x, (height, width))
         x = nn.Conv(32, (3, 3), padding=1, name="output_conv2_0", dtype=x.dtype)(x)
         x = nn.relu(x)
         return nn.Conv(cfg.out_channels, (1, 1), name="output_conv2_2", dtype=x.dtype)(x)

@@ -64,9 +64,14 @@ class VGGT(nn.Module):
             name="camera_head",
         )(cam_tokens)
 
+        # DPTHead expects exactly 4 taps; fail loudly if the config diverges
+        # (silently slicing [:4] would drop taps without a shape error).
+        assert len(outputs) == 4, (
+            f"DPT heads consume 4 aggregator taps, config yields {len(outputs)}"
+        )
         layer_tokens = [
             o[:, :, num_special:, :].reshape(b * s, -1, tap_dim)
-            for o in outputs[:4]
+            for o in outputs
         ]
         dpt_kw = dict(
             features=cfg.dpt_features, layer_dims=cfg.dpt_layer_dims, dim=tap_dim

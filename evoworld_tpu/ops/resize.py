@@ -113,3 +113,38 @@ def _bicubic_align_corners(images: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.
     ww = jnp.asarray(_resize_matrix(w, ow), images.dtype)
     x = jnp.einsum("oh,nhwc->nowc", wh, images, precision="highest")
     return jnp.einsum("pw,nowc->nopc", ww, x, precision="highest")
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with torch align_corners=True sampling.
+
+    Output pixel i samples input coordinate i*(H-1)/(H'-1) — the convention
+    of torch F.interpolate(mode="bilinear", align_corners=True), used by the
+    upstream DPT head's fusion/output upsampling (vggt custom_interpolate).
+    jax.image.resize's half-pixel convention drifts from it at the borders.
+    Works on (..., H, W, C).
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+
+    def axis_weights(n_in, n_out):
+        if n_out == 1 or n_in == 1:
+            lo = jnp.zeros((n_out,), jnp.int32)
+            return lo, lo, jnp.zeros((n_out,), jnp.float32)
+        pos = jnp.linspace(0.0, n_in - 1.0, n_out)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+        return lo, lo + 1, (pos - lo).astype(jnp.float32)
+
+    y0, y1, wy = axis_weights(h, oh)
+    x0, x1, wx = axis_weights(w, ow)
+    orig = x.dtype
+    xf = x.astype(jnp.float32)
+    top = jnp.take(xf, y0, axis=-3)
+    bot = jnp.take(xf, y1, axis=-3)
+    rows = top + (bot - top) * wy.reshape((-1, 1, 1))
+    left = jnp.take(rows, x0, axis=-2)
+    right = jnp.take(rows, x1, axis=-2)
+    out = left + (right - left) * wx.reshape((-1, 1))
+    return out.astype(orig)

@@ -137,7 +137,7 @@ def make_synthetic_upstream_state_dict(seed: int = 0) -> dict:
         sd.update(_block_keys(f"aggregator.frame_blocks.{i}", C, True, rng))
         sd.update(_block_keys(f"aggregator.global_blocks.{i}", C, True, rng))
     for i in range(TRUNK):
-        sd.update(_block_keys(f"camera_head.trunk.{i}", d2, True, rng))
+        sd.update(_block_keys(f"camera_head.trunk.{i}", d2, False, rng))  # upstream trunk has no qk-norm
     sd.update(_dpt_keys("depth_head", d2, rng))
     sd.update(_dpt_keys("point_head", d2, rng))
     return {k: np.asarray(v, np.float32) for k, v in sd.items()}
