@@ -69,6 +69,7 @@ def _builtin_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float)
     """JAX's shipped Pallas TPU flash-attention ((B, H, S, D) layout)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
+        SegmentIds,
         flash_attention,
     )
 
@@ -79,15 +80,33 @@ def _builtin_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float)
                 return b
         return None
 
+    seg = None
+    seq_q, seq_kv = q.shape[1], k.shape[1]
+    if pick(seq_q) is None or pick(seq_kv) is None:
+        # Non-tile-divisible sequence (e.g. VGGT's global attention over
+        # 49 frames x 1041 tokens = 51009): pad to the next tile multiple and
+        # mask the padding with segment ids (real tokens id 1, padding id 0 —
+        # padded rows attend only padding and are sliced off below). The
+        # padded builtin kernel runs at MXU rate where our streaming fallback
+        # (ops/flash_attention.py) measured 129 ms/layer at this shape.
+        tile = 1024 if max(seq_q, seq_kv) >= 8192 else 128
+        pq = (-seq_q) % tile
+        pkv = (-seq_kv) % tile
+        b = q.shape[0]
+        ids_q = (jnp.arange(seq_q + pq) < seq_q).astype(jnp.int32)
+        ids_kv = (jnp.arange(seq_kv + pkv) < seq_kv).astype(jnp.int32)
+        seg = SegmentIds(
+            q=jnp.broadcast_to(ids_q, (b, seq_q + pq)),
+            kv=jnp.broadcast_to(ids_kv, (b, seq_kv + pkv)),
+        )
+        q = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pkv), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pkv), (0, 0), (0, 0)))
+
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
-    seq_q, seq_kv = qt.shape[2], kt.shape[2]
-    bq, bk = pick(seq_q), pick(seq_kv)
-    if bq is None or bk is None:
-        from evoworld_tpu.ops.flash_attention import flash_attention as own_flash
-
-        return own_flash(q, k, v, scale=scale)
+    bq, bk = pick(qt.shape[2]), pick(kt.shape[2])
     blk = BlockSizes(
         block_q=bq,
         block_k_major=bk,
@@ -101,8 +120,11 @@ def _builtin_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float)
         block_k_dq=bk,
         block_k_major_dq=bk,
     )
-    out = flash_attention(qt, kt, vt, causal=False, sm_scale=scale, block_sizes=blk)
-    return jnp.swapaxes(out, 1, 2)
+    out = flash_attention(
+        qt, kt, vt, segment_ids=seg, causal=False, sm_scale=scale, block_sizes=blk
+    )
+    out = jnp.swapaxes(out, 1, 2)
+    return out[:, :seq_q]
 
 
 @functools.partial(jax.jit, static_argnames=("impl",))
