@@ -41,50 +41,89 @@ class VGGTConfig:
     dpt_layer_dims: tuple = (256, 512, 1024, 1024)
 
 
+def decode_depth(depth_out: jnp.ndarray):
+    """(..., 2) raw DPT output -> (depth (..., 1), conf (...)).
+
+    Positive depth via exp-style activation; conf stays raw + 1 offset
+    (upstream uses expm1-activated depth and 1+exp conf).
+    """
+    depth_out = depth_out.astype(jnp.float32)
+    depth = jnp.expm1(jnp.clip(depth_out[..., 0:1], -10.0, 12.0))
+    depth = jnp.maximum(depth, 1e-4)
+    conf = 1.0 + jnp.exp(jnp.clip(depth_out[..., 1], -10.0, 10.0))
+    return depth, conf
+
+
 class VGGT(nn.Module):
-    """Aggregator + camera / depth / point heads."""
+    """Aggregator + camera / depth / point heads.
+
+    setup-based (not @nn.compact) so the reconstructor can call the stages
+    separately (`aggregate` / `predict_cameras` / `apply_depth_head`) and
+    chunk the dense heads over frames — at 49 frames x 518x392 the one-shot
+    depth head materializes multi-GB full-resolution transients that do not
+    fit HBM next to the resident diffusion stack. Param paths are identical
+    to the previous compact layout (aggregator / camera_head / depth_head /
+    point_head), so models/vggt/weights.py converts unchanged.
+    """
 
     config: VGGTConfig = VGGTConfig()
 
-    @nn.compact
-    def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    def setup(self):
         cfg = self.config
-        b, s, height, width, _ = images.shape
-        num_special = 1 + cfg.aggregator.num_register_tokens
-
-        outputs, patch_hw = Aggregator(cfg.aggregator, name="aggregator")(images)
-
-        # Aggregator taps are (frame ‖ global) concatenations: width 2C.
         tap_dim = 2 * cfg.aggregator.embed_dim
-        cam_tokens = outputs[-1][:, :, 0, :]                   # (B, S, 2C)
-        pose_enc = CameraHead(
+        self.aggregator = Aggregator(cfg.aggregator)
+        self.camera_head = CameraHead(
             dim_in=tap_dim,
             trunk_depth=cfg.camera_trunk_depth,
             num_heads=cfg.aggregator.num_heads,
-            name="camera_head",
-        )(cam_tokens)
+        )
+        dpt_kw = dict(
+            features=cfg.dpt_features, layer_dims=cfg.dpt_layer_dims, dim=tap_dim
+        )
+        self.depth_head = DPTHead(DPTConfig(out_channels=2, **dpt_kw))
+        if cfg.with_point_head:
+            self.point_head = DPTHead(DPTConfig(out_channels=4, **dpt_kw))
 
+    def aggregate(self, images: jnp.ndarray):
+        """(B, S, H, W, 3) -> (tap outputs list, patch_hw)."""
+        return self.aggregator(images)
+
+    def predict_cameras(self, outputs) -> jnp.ndarray:
+        """Aggregator taps -> (B, S, 9) pose encoding."""
+        return self.camera_head(outputs[-1][:, :, 0, :])
+
+    def tap_patch_tokens(self, outputs):
+        """Strip special tokens: list of (B, S, T, 2C) -> list of (B*S, P, 2C)."""
+        num_special = 1 + self.config.aggregator.num_register_tokens
+        tap_dim = 2 * self.config.aggregator.embed_dim
         # DPTHead expects exactly 4 taps; fail loudly if the config diverges
         # (silently slicing [:4] would drop taps without a shape error).
         assert len(outputs) == 4, (
             f"DPT heads consume 4 aggregator taps, config yields {len(outputs)}"
         )
-        layer_tokens = [
-            o[:, :, num_special:, :].reshape(b * s, -1, tap_dim)
-            for o in outputs
+        b, s = outputs[0].shape[:2]
+        return [
+            o[:, :, num_special:, :].reshape(b * s, -1, tap_dim) for o in outputs
         ]
-        dpt_kw = dict(
-            features=cfg.dpt_features, layer_dims=cfg.dpt_layer_dims, dim=tap_dim
-        )
-        depth_out = DPTHead(
-            DPTConfig(out_channels=2, **dpt_kw), name="depth_head"
-        )(layer_tokens, patch_hw, (height, width))
-        depth_out = depth_out.reshape(b, s, height, width, 2).astype(jnp.float32)
-        # Positive depth via exp-style activation; conf stays raw + 1 offset
-        # (upstream uses expm1-activated depth and 1+exp conf).
-        depth = jnp.expm1(jnp.clip(depth_out[..., 0:1], -10.0, 12.0))
-        depth = jnp.maximum(depth, 1e-4)
-        depth_conf = 1.0 + jnp.exp(jnp.clip(depth_out[..., 1], -10.0, 10.0))
+
+    def apply_depth_head(self, layer_tokens, patch_hw, image_hw) -> jnp.ndarray:
+        """4x (N, P, 2C) patch tokens -> raw (N, H, W, 2) depth+conf output."""
+        return self.depth_head(layer_tokens, patch_hw, image_hw)
+
+    def apply_point_head(self, layer_tokens, patch_hw, image_hw) -> jnp.ndarray:
+        return self.point_head(layer_tokens, patch_hw, image_hw)
+
+    def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        b, s, height, width, _ = images.shape
+
+        outputs, patch_hw = self.aggregate(images)
+        pose_enc = self.predict_cameras(outputs)
+        layer_tokens = self.tap_patch_tokens(outputs)
+
+        depth_out = self.apply_depth_head(layer_tokens, patch_hw, (height, width))
+        depth_out = depth_out.reshape(b, s, height, width, 2)
+        depth, depth_conf = decode_depth(depth_out)
 
         preds: Dict[str, jnp.ndarray] = {
             "pose_enc": pose_enc,
@@ -94,9 +133,7 @@ class VGGT(nn.Module):
         }
 
         if cfg.with_point_head:
-            point_out = DPTHead(
-                DPTConfig(out_channels=4, **dpt_kw), name="point_head"
-            )(layer_tokens, patch_hw, (height, width))
+            point_out = self.apply_point_head(layer_tokens, patch_hw, (height, width))
             point_out = point_out.reshape(b, s, height, width, 4).astype(jnp.float32)
             preds["world_points"] = point_out[..., 0:3]
             preds["world_points_conf"] = 1.0 + jnp.exp(jnp.clip(point_out[..., 3], -10.0, 10.0))
@@ -156,7 +193,7 @@ def _try_host_offload(params):
 
 
 def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16,
-                       offload_params: bool = True):
+                       offload_params: bool = True, head_chunk: int = 8):
     """Wrap a VGGT model as the UnifiedLoop reconstructor callable.
 
     Returns fn(images (S, Hp, Wp, 3) in [0,1]) -> dict with world_points,
@@ -164,6 +201,13 @@ def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16,
     decoding, and depth unprojection in one jitted program (reference flow:
     unified_loop_consistency.py:336-368 with prediction_mode
     "depth_unproject").
+
+    The depth head runs `lax.map`-chunked over frames (`head_chunk` per
+    step): its full-resolution transients scale with frame count, and at
+    the 3-clip loop's second rebuild (49 frames x 518x392) the one-shot
+    head OOMs a 16 GB chip next to the resident diffusion stack. The
+    per-frame head is embarrassingly parallel, so chunking costs nothing
+    but schedule.
     """
     dev_sh = None
     if offload_params:
@@ -179,13 +223,37 @@ def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16,
     @jax.jit
     def reconstruct(p, images):
         batch = load_and_preprocess_images(jnp.asarray(images))
-        preds = model.apply(p, batch.astype(compute_dtype))
-        hw = batch.shape[2:4]
-        extrinsic, intrinsic = pose_encoding_to_extri_intri(preds["pose_enc"][0], hw)
-        points = unproject_depth_map_to_point_map(preds["depth"][0], extrinsic, intrinsic)
+        x = batch.astype(compute_dtype)
+        b, s = x.shape[:2]
+        hw = x.shape[2:4]
+
+        outputs, patch_hw = model.apply(p, x, method="aggregate")
+        pose_enc = model.apply(p, outputs, method="predict_cameras")
+        layer_tokens = model.apply(p, outputs, method="tap_patch_tokens")
+        del outputs
+
+        n = layer_tokens[0].shape[0]
+        chunk = max(1, min(head_chunk, n))
+        pad = (-n) % chunk
+        toks = jnp.stack(layer_tokens)                       # (4, N, P, 2C)
+        toks = jnp.pad(toks, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        toks = toks.reshape(4, -1, chunk, *toks.shape[2:]).swapaxes(0, 1)
+
+        def head_body(t4):
+            return model.apply(
+                p, [t4[i] for i in range(4)], patch_hw, hw,
+                method="apply_depth_head",
+            )
+
+        depth_out = jax.lax.map(head_body, toks)             # (nc, chunk, H, W, 2)
+        depth_out = depth_out.reshape(-1, *depth_out.shape[2:])[:n]
+        depth, conf = decode_depth(depth_out.reshape(b, s, *hw, 2))
+
+        extrinsic, intrinsic = pose_encoding_to_extri_intri(pose_enc[0], hw)
+        points = unproject_depth_map_to_point_map(depth[0], extrinsic, intrinsic)
         return {
             "world_points": points,
-            "conf": preds["depth_conf"][0],
+            "conf": conf[0],
             "extrinsic": extrinsic,
             "colors": batch[0],
         }
