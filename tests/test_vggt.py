@@ -42,6 +42,33 @@ class TestVGGT:
         assert preds["depth"].shape == (1, 2, 28, 42, 1)
 
 
+    def test_chunked_head_matches_one_shot(self):
+        """The reconstructor's lax.map-chunked depth head (OOM guard for the
+        49-frame rebuild) must match the one-shot __call__ path, including
+        when the chunk size does not divide the frame count."""
+        from evoworld_tpu.models.vggt.model import (
+            load_and_preprocess_images,
+            make_reconstructor,
+        )
+
+        model = VGGT(TINY)
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(5, 56, 70, 3).astype(np.float32)
+        params = model.init(jax.random.key(1), jnp.asarray(imgs)[None])
+
+        batch = load_and_preprocess_images(jnp.asarray(imgs))
+        ref = model.apply(params, batch)
+        for chunk in (2, 8):  # 2 pads 5 -> 6; 8 clamps to n=5
+            recon = make_reconstructor(
+                model, params, jnp.float32, offload_params=False, head_chunk=chunk
+            )
+            out = recon(imgs)
+            np.testing.assert_allclose(
+                np.asarray(out["conf"]), np.asarray(ref["depth_conf"][0]),
+                rtol=1e-5, atol=1e-5,
+            )
+
+
 class TestVGGTGeometry:
     def test_quat_identity(self):
         r = np.asarray(quat_to_rotmat(jnp.asarray([0.0, 0.0, 0.0, 1.0])))
