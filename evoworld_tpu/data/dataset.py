@@ -50,6 +50,41 @@ def load_camera_poses(path: str, unity_to_opencv: bool = True) -> np.ndarray:
     return poses
 
 
+def dump_trajectories(root: str, episodes=None) -> dict:
+    """Cache every episode's raw pose rows into camera_trajectories.json.
+
+    Reference CameraTrajDataset.py:170-182: the cache stores the UNCONVERTED
+    Unity rows (consumers apply UNITY_TO_OPENCV themselves), keyed by episode
+    name. Returns the {episode: [[x,y,z,rx,ry,rz], ...]} mapping.
+    """
+    import json
+
+    if episodes is None:
+        episodes = sorted(
+            e for e in os.listdir(root)
+            if os.path.isfile(os.path.join(root, e, "camera_poses.txt"))
+        )
+    cache = {
+        e: load_camera_poses(
+            os.path.join(root, e, "camera_poses.txt"), unity_to_opencv=False
+        ).tolist()
+        for e in episodes
+    }
+    with open(os.path.join(root, "camera_trajectories.json"), "w") as f:
+        json.dump(cache, f, indent=4)
+    return cache
+
+
+def load_trajectory_file(traj_file: str) -> dict:
+    """camera_trajectories.json -> {episode: (N, 6) float32 pose rows}
+    (reference CameraTrajDataset.py:185-198)."""
+    import json
+
+    with open(traj_file) as f:
+        raw = json.load(f)
+    return {k: np.asarray(v, np.float32) for k, v in raw.items()}
+
+
 def _resolve(path: str) -> str:
     if not os.path.exists(path):
         alt = os.path.splitext(path)[0] + ".jpg"

@@ -41,6 +41,65 @@ class TestData:
         assert (s.memory_values == 0).all()
 
 
+class TestTrajectoryCache:
+    def test_dump_and_load_roundtrip(self, tmp_path, example_episode):
+        import shutil
+
+        from evoworld_tpu.data.dataset import dump_trajectories, load_trajectory_file
+        from evoworld_tpu.geometry.pose import UNITY_TO_OPENCV
+
+        ep = tmp_path / "case_000"
+        ep.mkdir()
+        shutil.copy(f"{example_episode}/camera_poses.txt", ep / "camera_poses.txt")
+        cache = dump_trajectories(str(tmp_path))
+        assert "case_000" in cache
+
+        loaded = load_trajectory_file(str(tmp_path / "camera_trajectories.json"))
+        raw = loaded["case_000"]
+        assert raw.shape == (126, 6)
+        # Cache stores UNCONVERTED Unity rows (CameraTrajDataset.py:170-182):
+        # applying the sign convention reproduces load_camera_poses.
+        np.testing.assert_allclose(
+            raw * UNITY_TO_OPENCV,
+            load_camera_poses(f"{example_episode}/camera_poses.txt"),
+            rtol=1e-6,
+        )
+
+
+class TestCalculateScores:
+    def test_video_pair_scoring(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from evoworld_tpu.cli.calculate_scores import load_video, main
+
+        rng = np.random.RandomState(0)
+        written = False
+        for sub in ("ep0", "ep1"):
+            d = tmp_path / sub
+            d.mkdir()
+            for name in ("navigated.mp4", "original.mp4"):
+                w = cv2.VideoWriter(
+                    str(d / name), cv2.VideoWriter_fourcc(*"mp4v"), 8, (64, 64)
+                )
+                if not w.isOpened():
+                    pytest.skip("no mp4 codec available")
+                for _ in range(4):
+                    w.write(rng.randint(0, 255, (64, 64, 3), np.uint8))
+                w.release()
+                written = True
+        assert written
+        vid = load_video(str(tmp_path / "ep0" / "navigated.mp4"))
+        assert vid is not None and vid.shape == (4, 64, 64, 3)
+        assert 0.0 <= vid.min() and vid.max() <= 1.0
+
+        main([f"--data.root={tmp_path}"])
+        import json
+
+        scores = json.loads((tmp_path / "scores.json").read_text())
+        # 4-frame clips skip FVD (needs >=10 frames) but score the rest.
+        assert {"ssim", "psnr", "lpips"} <= set(scores)
+        assert np.isfinite(scores["psnr"]["value_mean"])
+
+
 class TestMetrics:
     def test_psnr_reference_formula(self):
         rng = np.random.default_rng(0)
