@@ -75,17 +75,18 @@ def main(argv=None):
     gt = np.stack([v[:t] for v in original])
     logger.info(f"{gen.shape[0]} video pairs, {t} frames @ {gen.shape[2]}x{gen.shape[3]}")
 
-    weights_dir = getattr(config.runtime, "metric_weights_dir", "")
-    weights: dict = {}
-    if weights_dir and os.path.isdir(weights_dir):
-        from evoworld_tpu.cli.calculate_metrics import _load_metric_weights
+    from evoworld_tpu.cli.calculate_metrics import _load_metric_weights
 
-        weights = _load_metric_weights(weights_dir)
-    nets = FeatureNets(weights)
+    nets = FeatureNets(_load_metric_weights(getattr(config.runtime, "metric_weights_dir", "")))
 
     result = {}
     if gen.shape[0] >= 2 and t >= 10:  # Frechet needs >=2 videos, I3D >=10 frames
         result["fvd"] = calculate_fvd_batch(gen, gt, nets=nets)
+    else:
+        logger.warning(
+            f"fvd skipped: need >=2 video pairs and >=10 frames, have "
+            f"{gen.shape[0]} pairs x {t} frames"
+        )
     result["ssim"] = calculate_ssim(gen, gt)
     result["psnr"] = calculate_psnr(gen, gt)
     result["lpips"] = calculate_lpips(gen, gt, nets=nets)

@@ -53,9 +53,11 @@ def load_camera_poses(path: str, unity_to_opencv: bool = True) -> np.ndarray:
 def dump_trajectories(root: str, episodes=None) -> dict:
     """Cache every episode's raw pose rows into camera_trajectories.json.
 
-    Reference CameraTrajDataset.py:170-182: the cache stores the UNCONVERTED
-    Unity rows (consumers apply UNITY_TO_OPENCV themselves), keyed by episode
-    name. Returns the {episode: [[x,y,z,rx,ry,rz], ...]} mapping.
+    Reference `build_traj_file_from_raw_info` (CameraTrajDataset.py:158-182):
+    the cache is a two-layer {episode: {frame_id: [x,y,z,rx,ry,rz]}} mapping
+    holding the UNCONVERTED Unity rows under their raw frame-id strings
+    (consumers apply UNITY_TO_OPENCV themselves); interoperable with caches
+    written by the reference repo. Returns the mapping.
     """
     import json
 
@@ -64,25 +66,34 @@ def dump_trajectories(root: str, episodes=None) -> dict:
             e for e in os.listdir(root)
             if os.path.isfile(os.path.join(root, e, "camera_poses.txt"))
         )
-    cache = {
-        e: load_camera_poses(
-            os.path.join(root, e, "camera_poses.txt"), unity_to_opencv=False
-        ).tolist()
-        for e in episodes
-    }
+    cache: dict = {}
+    for e in episodes:
+        poses: dict = {}
+        with open(os.path.join(root, e, "camera_poses.txt")) as f:
+            for line in f.readlines()[1:]:
+                values = [v.strip() for v in line.strip().split(",")]
+                if len(values) >= 7:
+                    poses[values[0]] = [float(x) for x in values[1:7]]
+        cache[e] = poses
     with open(os.path.join(root, "camera_trajectories.json"), "w") as f:
         json.dump(cache, f, indent=4)
     return cache
 
 
 def load_trajectory_file(traj_file: str) -> dict:
-    """camera_trajectories.json -> {episode: (N, 6) float32 pose rows}
-    (reference CameraTrajDataset.py:185-198)."""
+    """camera_trajectories.json -> {episode: {frame_id: [pose row]}}
+    (reference `load_trajectory_file`, CameraTrajDataset.py:185-198; same
+    two-layer schema, so caches are exchangeable between the repos)."""
     import json
 
     with open(traj_file) as f:
-        raw = json.load(f)
-    return {k: np.asarray(v, np.float32) for k, v in raw.items()}
+        return json.load(f)
+
+
+def trajectory_to_array(episode_poses: dict) -> np.ndarray:
+    """{frame_id: [pose]} -> (N, 6) float32 rows ordered by numeric frame id."""
+    keys = sorted(episode_poses, key=lambda k: float(k))
+    return np.asarray([episode_poses[k] for k in keys], np.float32)
 
 
 def _resolve(path: str) -> str:

@@ -65,6 +65,43 @@ def _blockdiag_small_seq(
     return out.reshape(bb * g, pad_to, h, d)[:b, :s]
 
 
+def _flash_tile(seq: int):
+    """Largest flash tile dividing the sequence (the kernel requires exact
+    tiling), or None if the sequence needs padding first."""
+    for b in (1024, 512, 256, 128):
+        if seq % b == 0:
+            return b
+    return None
+
+
+def _pad_with_segment_mask(q, k, v):
+    """Pad (B, S, H, D) q/k/v to flash-tile multiples with a padding mask.
+
+    Returns (q, k, v, (ids_q, ids_kv), orig_seq_q) where the id arrays are
+    (B, S_padded) int32 segment ids — real tokens id 1, padding id 0, so
+    padded kv columns are masked away from real queries and padded query
+    rows (which attend only padding) are sliced off by the caller via
+    orig_seq_q. CPU-testable arithmetic for the TPU-only kernel path (the
+    mask semantics themselves are parity-checked against exact softmax in
+    tests/test_models.py).
+    """
+    seq_q, seq_kv = q.shape[1], k.shape[1]
+    tile = 1024 if max(seq_q, seq_kv) >= 8192 else 128
+    pq = (-seq_q) % tile
+    pkv = (-seq_kv) % tile
+    b = q.shape[0]
+    ids_q = jnp.broadcast_to(
+        (jnp.arange(seq_q + pq) < seq_q).astype(jnp.int32), (b, seq_q + pq)
+    )
+    ids_kv = jnp.broadcast_to(
+        (jnp.arange(seq_kv + pkv) < seq_kv).astype(jnp.int32), (b, seq_kv + pkv)
+    )
+    q = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, pkv), (0, 0), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, pkv), (0, 0), (0, 0)))
+    return q, k, v, (ids_q, ids_kv), seq_q
+
+
 def _builtin_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
     """JAX's shipped Pallas TPU flash-attention ((B, H, S, D) layout)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -73,35 +110,17 @@ def _builtin_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float)
         flash_attention,
     )
 
-    def pick(seq):
-        # Largest tile dividing the sequence (the kernel requires exact tiling).
-        for b in (1024, 512, 256, 128):
-            if seq % b == 0:
-                return b
-        return None
-
+    pick = _flash_tile
     seg = None
-    seq_q, seq_kv = q.shape[1], k.shape[1]
-    if pick(seq_q) is None or pick(seq_kv) is None:
+    seq_q = q.shape[1]
+    if pick(seq_q) is None or pick(k.shape[1]) is None:
         # Non-tile-divisible sequence (e.g. VGGT's global attention over
         # 49 frames x 1041 tokens = 51009): pad to the next tile multiple and
-        # mask the padding with segment ids (real tokens id 1, padding id 0 —
-        # padded rows attend only padding and are sliced off below). The
-        # padded builtin kernel runs at MXU rate where our streaming fallback
-        # (ops/flash_attention.py) measured 129 ms/layer at this shape.
-        tile = 1024 if max(seq_q, seq_kv) >= 8192 else 128
-        pq = (-seq_q) % tile
-        pkv = (-seq_kv) % tile
-        b = q.shape[0]
-        ids_q = (jnp.arange(seq_q + pq) < seq_q).astype(jnp.int32)
-        ids_kv = (jnp.arange(seq_kv + pkv) < seq_kv).astype(jnp.int32)
-        seg = SegmentIds(
-            q=jnp.broadcast_to(ids_q, (b, seq_q + pq)),
-            kv=jnp.broadcast_to(ids_kv, (b, seq_kv + pkv)),
-        )
-        q = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, pkv), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pkv), (0, 0), (0, 0)))
+        # mask the padding with segment ids. The padded builtin kernel runs
+        # at 185 ms/layer at that shape vs 197 on our streaming fallback
+        # (ops/flash_attention.py), and keeps one production kernel.
+        q, k, v, (ids_q, ids_kv), seq_q = _pad_with_segment_mask(q, k, v)
+        seg = SegmentIds(q=ids_q, kv=ids_kv)
 
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)

@@ -45,7 +45,11 @@ class TestTrajectoryCache:
     def test_dump_and_load_roundtrip(self, tmp_path, example_episode):
         import shutil
 
-        from evoworld_tpu.data.dataset import dump_trajectories, load_trajectory_file
+        from evoworld_tpu.data.dataset import (
+            dump_trajectories,
+            load_trajectory_file,
+            trajectory_to_array,
+        )
         from evoworld_tpu.geometry.pose import UNITY_TO_OPENCV
 
         ep = tmp_path / "case_000"
@@ -55,10 +59,15 @@ class TestTrajectoryCache:
         assert "case_000" in cache
 
         loaded = load_trajectory_file(str(tmp_path / "camera_trajectories.json"))
-        raw = loaded["case_000"]
+        # Reference two-layer schema: {episode: {frame_id(str): [6 floats]}}
+        # (CameraTrajDataset.py:158-198) — interop with reference caches.
+        inner = loaded["case_000"]
+        assert isinstance(inner, dict) and len(inner) == 126
+        assert all(isinstance(k, str) and len(v) == 6 for k, v in inner.items())
+        raw = trajectory_to_array(inner)
         assert raw.shape == (126, 6)
-        # Cache stores UNCONVERTED Unity rows (CameraTrajDataset.py:170-182):
-        # applying the sign convention reproduces load_camera_poses.
+        # Cache stores UNCONVERTED Unity rows: applying the sign convention
+        # reproduces load_camera_poses.
         np.testing.assert_allclose(
             raw * UNITY_TO_OPENCV,
             load_camera_poses(f"{example_episode}/camera_poses.txt"),

@@ -106,6 +106,37 @@ class TestFlashAttention:
         got = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128, interpret=True))
         np.testing.assert_allclose(got, want, atol=2e-5)
 
+    def test_pad_with_segment_mask_semantics(self):
+        """The pad+segment-mask arithmetic feeding the TPU builtin flash
+        kernel, validated on CPU: emulating the kernel's segment-id rule
+        (attend only where id_q == id_kv) on the padded arrays and slicing
+        to orig_seq_q must exactly reproduce unpadded attention."""
+        from evoworld_tpu.ops.attention import (
+            _flash_tile,
+            _pad_with_segment_mask,
+            _xla_attention,
+        )
+
+        rng = np.random.default_rng(2)
+        for sq, skv in [(1041, 1041), (200, 333), (9216, 1041)]:
+            q = jnp.asarray(rng.normal(size=(2, sq, 2, 16)).astype(np.float32))
+            k = jnp.asarray(rng.normal(size=(2, skv, 2, 16)).astype(np.float32))
+            v = jnp.asarray(rng.normal(size=(2, skv, 2, 16)).astype(np.float32))
+            qp, kp, vp, (ids_q, ids_kv), orig = _pad_with_segment_mask(q, k, v)
+            assert orig == sq
+            # Padded lengths are tileable — the kernel's hard precondition.
+            assert _flash_tile(qp.shape[1]) is not None
+            assert _flash_tile(kp.shape[1]) is not None
+            assert int(ids_q.sum()) == 2 * sq and int(ids_kv.sum()) == 2 * skv
+
+            scale = 1 / np.sqrt(16)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp) * scale
+            mask = (ids_q[:, None, :, None] == ids_kv[:, None, None, :])
+            probs = jax.nn.softmax(jnp.where(mask, logits, -jnp.inf), axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, vp)[:, :orig]
+            want = _xla_attention(q, k, v, scale=scale)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
     def test_kv1_broadcast_is_exact(self):
         """Softmax over one key == 1, so auto's kv=1 shortcut must equal xla."""
         from evoworld_tpu.ops.attention import _xla_attention, multi_head_attention
