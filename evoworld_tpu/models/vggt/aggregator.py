@@ -187,7 +187,7 @@ class Aggregator(nn.Module):
     config: AggregatorConfig = AggregatorConfig()
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray):
+    def __call__(self, images: jnp.ndarray, dino_features_only: bool = False):
         cfg = self.config
         assert cfg.output_layers[-1] == cfg.depth - 1, (
             "last tap must be the final block pair"
@@ -257,6 +257,10 @@ class Aggregator(nn.Module):
             patches = nn.LayerNorm(dtype=jnp.float32, name="dino_norm")(
                 patches.astype(jnp.float32)
             ).astype(patches.dtype)[:, n_dino_special:]
+        if dino_features_only:
+            # Expose the DINOv2-role patch features (x_norm_patchtokens) for
+            # cross-framework parity tests; alternating blocks don't run.
+            return patches, (ph, pw)
 
         # Camera + register tokens; frame 0 (the query frame) gets its own
         # set so the model can identify the reference view (upstream
