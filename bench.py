@@ -21,6 +21,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from evoworld_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def build_pipeline(small: bool):
     from evoworld_tpu.diffusion.pipeline import PipelineConfig, make_random_pipeline

@@ -16,6 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from evoworld_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def main():
     small = "--small" in sys.argv

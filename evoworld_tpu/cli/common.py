@@ -8,7 +8,10 @@ import sys
 import numpy as np
 
 from evoworld_tpu.config import EvoWorldConfig, apply_overrides, describe
+from evoworld_tpu.utils.compile_cache import enable_persistent_cache
 from evoworld_tpu.utils.logging import get_logger
+
+enable_persistent_cache()
 
 logger = get_logger()
 
