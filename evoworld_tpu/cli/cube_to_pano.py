@@ -8,7 +8,11 @@ jitted gather per frame.
 
 Usage:
   python -m evoworld_tpu.cli.cube_to_pano --data.root=<captures> \
-      --runtime.save_dir=<out> [--data.height=1000 --data.width=2000]
+      --runtime.save_dir=<out> [--data.height=1000 --data.width=2000] \
+      [--data.sampling=ue]
+`--data.sampling=ue` selects the Unreal Engine capture variant (reference
+cube_to_pano_batched_io_UE.py: 180-degree-rotated top/bottom faces, pi
+longitude shift).
 """
 
 from __future__ import annotations
@@ -20,7 +24,7 @@ import numpy as np
 from PIL import Image
 
 from evoworld_tpu.cli.common import logger, parse_config
-from evoworld_tpu.data.engine import FACE_ORDER, unity_cubes_to_pano
+from evoworld_tpu.data.engine import FACE_ORDER, ue_cubes_to_pano, unity_cubes_to_pano
 from evoworld_tpu.data.native_io import load_image_batch
 
 
@@ -30,6 +34,7 @@ def main(argv=None):
     out_root = config.runtime.save_dir
     os.makedirs(out_root, exist_ok=True)
     height, width = config.data.height, config.data.width
+    convert = ue_cubes_to_pano if config.data.sampling == "ue" else unity_cubes_to_pano
 
     frames = sorted(
         d for d in os.listdir(root)
@@ -47,7 +52,7 @@ def main(argv=None):
         paths = [os.path.join(root, name, f"{f}.png") for f in FACE_ORDER]
         probe = np.asarray(Image.open(paths[0]))
         faces = load_image_batch(paths, probe.shape[0], probe.shape[1], minus1_1=False)
-        pano = unity_cubes_to_pano(jnp.asarray(faces), height, width)
+        pano = convert(jnp.asarray(faces), height, width)
         Image.fromarray((np.clip(np.asarray(pano), 0, 1) * 255).astype(np.uint8)).save(out_path)
     logger.info(f"wrote panoramas to {out_root}")
 

@@ -21,7 +21,7 @@ from evoworld_tpu.cli.common import logger, parse_config
 from evoworld_tpu.data.dataset import EpisodeDataset
 from evoworld_tpu.parallel.mesh import make_mesh
 from evoworld_tpu.runtime import build_pipeline, _dtype
-from evoworld_tpu.train.trainer import TrainerConfig, train
+from evoworld_tpu.train.trainer import train
 
 
 def main(argv=None):
@@ -51,7 +51,14 @@ def main(argv=None):
         mesh = make_mesh(model=model_axis)
         logger.info(f"mesh: {dict(mesh.shape)}")
 
-    trainer_config = TrainerConfig(
+    # Loop-level knobs (--trainer.*: gradient_accumulation_steps,
+    # per_device_batch_size, checkpointing/validation cadence, EMA — the
+    # reference's accelerate-level flags, arg_parser.py) come from the config
+    # tree; output dir and step budget stay tied to their existing knobs.
+    import dataclasses
+
+    trainer_config = dataclasses.replace(
+        config.trainer,
         output_dir=rt.save_dir,
         max_steps=config.train.total_steps,
     )
@@ -103,7 +110,8 @@ def main(argv=None):
         config.train,
         trainer_config,
         mesh=mesh,
-        batch_size=max(1, n_dev if mesh is not None else 1),
+        batch_size=trainer_config.per_device_batch_size
+        * max(1, mesh.shape["data"] if mesh is not None else 1),
         compute_dtype=_dtype(rt.compute_dtype),
         validation_fn=validation_fn,
     )

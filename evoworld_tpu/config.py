@@ -14,6 +14,7 @@ from typing import Optional, Sequence
 from evoworld_tpu.diffusion.pipeline import PipelineConfig
 from evoworld_tpu.loop.unified import LoopConfig
 from evoworld_tpu.train.train_step import TrainConfig
+from evoworld_tpu.train.trainer import TrainerConfig
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +54,7 @@ class EvoWorldConfig:
     pipeline: PipelineConfig = PipelineConfig()
     loop: LoopConfig = LoopConfig()
     train: TrainConfig = TrainConfig()
+    trainer: TrainerConfig = TrainerConfig()
     data: DataConfig = DataConfig()
     runtime: RuntimeConfig = RuntimeConfig()
 

@@ -56,6 +56,7 @@ class TrainConfig:
     total_steps: int = 30000
     warmup_steps: int = 500
     lr_schedule: str = "cosine"  # "cosine" | "constant"
+    zero_stage: int = 1  # 1: opt-state sharding; >=2: + gradient reduce-scatter
 
 
 def trainable_mask(params) -> Any:

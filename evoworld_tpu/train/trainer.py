@@ -38,6 +38,7 @@ class TrainerConfig:
     validation_steps: int = 1000
     log_steps: int = 10
     gradient_accumulation_steps: int = 1
+    per_device_batch_size: int = 1  # reference --per_gpu_batch_size (train.sh:19)
     resume: bool = True
     use_ema: bool = False
     ema_decay: float = 0.9999
@@ -159,7 +160,7 @@ def train(
     accum = trainer_config.gradient_accumulation_steps
     step_fn = make_sharded_train_step(
         unet, vae, clip_tower, frozen_params, optimizer, config, mesh, compute_dtype,
-        accum_steps=accum,
+        accum_steps=accum, zero_stage=config.zero_stage,
     )
 
     h = dataset.height // 8

@@ -94,6 +94,26 @@ class TestConfig:
         assert cfg.data.single_episode is False
         assert cfg.train.learning_rate == 2e-5
 
+    def test_trainer_section_overrides(self):
+        # The reference's accelerate-level flags (--gradient_accumulation_steps,
+        # --per_gpu_batch_size, --use_ema, --checkpointing_steps) map to the
+        # trainer section (MIGRATION.md).
+        from evoworld_tpu.config import EvoWorldConfig, apply_overrides
+
+        cfg = apply_overrides(
+            EvoWorldConfig(),
+            ["--trainer.gradient_accumulation_steps=4",
+             "--trainer.per_device_batch_size=2",
+             "--trainer.use_ema=true",
+             "--trainer.checkpointing_steps=250",
+             "--train.zero_stage=2"],
+        )
+        assert cfg.trainer.gradient_accumulation_steps == 4
+        assert cfg.trainer.per_device_batch_size == 2
+        assert cfg.trainer.use_ema is True
+        assert cfg.trainer.checkpointing_steps == 250
+        assert cfg.train.zero_stage == 2
+
     def test_unknown_field_rejected(self):
         import pytest
 
