@@ -28,6 +28,26 @@ def main(argv=None):
     config = parse_config(argv)
     data, rt = config.data, config.runtime
 
+    # Loop-level knobs (--trainer.*: gradient_accumulation_steps,
+    # per_device_batch_size, checkpointing/validation cadence, EMA — the
+    # reference's accelerate-level flags, arg_parser.py) come from the config
+    # tree; output dir and step budget are DERIVED from their canonical knobs,
+    # so reject overrides that would otherwise be silently clobbered.
+    import dataclasses
+
+    from evoworld_tpu.train.trainer import TrainerConfig
+
+    _defaults = TrainerConfig()
+    if config.trainer.output_dir != _defaults.output_dir:
+        raise SystemExit("--trainer.output_dir is derived here; use --runtime.save_dir")
+    if config.trainer.max_steps != _defaults.max_steps:
+        raise SystemExit("--trainer.max_steps is derived here; use --train.total_steps")
+    trainer_config = dataclasses.replace(
+        config.trainer,
+        output_dir=rt.save_dir,
+        max_steps=config.train.total_steps,
+    )
+
     dataset = EpisodeDataset(
         data.root,
         height=config.pipeline.height,
@@ -50,18 +70,6 @@ def main(argv=None):
         model_axis = rt.mesh_model
         mesh = make_mesh(model=model_axis)
         logger.info(f"mesh: {dict(mesh.shape)}")
-
-    # Loop-level knobs (--trainer.*: gradient_accumulation_steps,
-    # per_device_batch_size, checkpointing/validation cadence, EMA — the
-    # reference's accelerate-level flags, arg_parser.py) come from the config
-    # tree; output dir and step budget stay tied to their existing knobs.
-    import dataclasses
-
-    trainer_config = dataclasses.replace(
-        config.trainer,
-        output_dir=rt.save_dir,
-        max_steps=config.train.total_steps,
-    )
 
     # Validation: render a clip on the first episode and save a GT|generated
     # side-by-side GIF (reference train_evoworld.py:771-875). The tracker is

@@ -24,6 +24,9 @@ class DataConfig:
     width: int = 1024
     sequence_length: int = 25
     sampling: str = "reprojection"
+    # Data-engine capture convention for cube_to_pano ("unity" | "ue"); a
+    # separate knob from `sampling` (dataset memory modes) on purpose.
+    engine: str = "unity"
     reprojection_name: str = "rendered_panorama_vggt_open3d"
     memory_path: Optional[str] = None
     pos_scale: float = 0.1

@@ -67,15 +67,15 @@ def unity_cubes_to_pano(faces: jnp.ndarray, height: int, width: int) -> jnp.ndar
 
 def ue_cubes_to_pano(faces: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     """Unreal Engine capture variant (reference
-    cube_to_pano_batched_io_UE.py:10-18,145): top/bottom faces arrive rotated
-    180 degrees and the panorama longitude is shifted by pi relative to the
-    Unity convention.
+    cube_to_pano_batched_io_UE.py:10-18): top/bottom faces arrive rotated
+    180 degrees at load; the sampling math is otherwise identical to Unity's
+    (process_batch at :45 calls the same converter — the `_UE`-suffixed
+    function at :131 is dead code, and its +pi longitude differs from the
+    Unity formula by exactly 2*pi, a no-op under cos/sin).
 
     Args:
         faces: (6, S, S, 3) in FACE_ORDER, raw (unrotated) UE captures.
     """
     fixed = faces.at[2].set(jnp.rot90(faces[2], 2, axes=(0, 1)))  # bottom
     fixed = fixed.at[3].set(jnp.rot90(faces[3], 2, axes=(0, 1)))  # top
-    pano = unity_cubes_to_pano(fixed, height, width)
-    # lon_UE = lon_unity + pi -> half-width roll of the panorama.
-    return jnp.roll(pano, width // 2, axis=1)
+    return unity_cubes_to_pano(fixed, height, width)

@@ -308,7 +308,15 @@ def make_sharded_train_step(
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
+        # Pin every argument to the default device. Orbax-restored state is
+        # committed (x.committed=True) while freshly-initialized state is
+        # not, and pjit keys its executable on that — without explicit
+        # in_shardings a resume pays TWO full recompiles (one for the
+        # restored state, one more for its first step output). Pinning makes
+        # fresh and resumed runs share a single executable (measured:
+        # 121 s -> 0.6 s for the first post-restore step on the tiny config).
+        sds = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        return jax.jit(step_fn, in_shardings=(sds, sds, sds), donate_argnums=(0,))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -44,6 +44,24 @@ class TrainerConfig:
     ema_decay: float = 0.9999
 
 
+_NO_SHARDING = object()  # sentinel: None would collapse to an empty subtree
+
+
+def _tree_shardings(tree):
+    """Sharding per array leaf (sentinel for any non-array leaf)."""
+    return jax.tree.map(
+        lambda x: x.sharding if isinstance(x, jax.Array) else _NO_SHARDING, tree
+    )
+
+
+def _place_like(tree, shardings):
+    """device_put each array leaf onto its recorded sharding."""
+    return jax.tree.map(
+        lambda x, s: x if s is _NO_SHARDING else jax.device_put(x, s),
+        tree, shardings,
+    )
+
+
 def ema_update(ema_params, params, decay: float):
     """EMA of the params (reference EMAModel, train_evoworld.py:226-231,
     :727-729 — swapped in for validation/final export)."""
@@ -63,32 +81,41 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
         )
 
-    def save(self, step: int, state: TrainState):
+    def save(self, step: int, state: TrainState, ema_params=None):
         import orbax.checkpoint as ocp
 
-        self.manager.save(
-            step,
-            args=ocp.args.Composite(
-                params=ocp.args.StandardSave(state.params),
-                opt_state=ocp.args.StandardSave(state.opt_state),
-            ),
+        items = dict(
+            params=ocp.args.StandardSave(state.params),
+            opt_state=ocp.args.StandardSave(state.opt_state),
         )
+        if ema_params is not None:
+            # Persisted alongside the raw params (reference EMAModel state is
+            # saved/loaded by the accelerate hooks, train_evoworld.py:236-269).
+            items["ema"] = ocp.args.StandardSave(ema_params)
+        self.manager.save(step, args=ocp.args.Composite(**items))
         self.manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
-    def restore(self, step: int, state: TrainState) -> TrainState:
+    def restore(self, step: int, state: TrainState, with_ema: bool = False):
+        """Restore a TrainState; with_ema also returns the saved EMA params
+        (None when the checkpoint predates EMA or was written without it)."""
         import orbax.checkpoint as ocp
 
-        restored = self.manager.restore(
-            step,
-            args=ocp.args.Composite(
-                params=ocp.args.StandardRestore(state.params),
-                opt_state=ocp.args.StandardRestore(state.opt_state),
-            ),
+        items = dict(
+            params=ocp.args.StandardRestore(state.params),
+            opt_state=ocp.args.StandardRestore(state.opt_state),
         )
-        return TrainState(restored["params"], restored["opt_state"], jnp.asarray(step, jnp.int32))
+        # Probe the item directory rather than item_metadata(): the latter
+        # logs handler-registry warnings for every composite item.
+        if with_ema and os.path.isdir(os.path.join(self.directory, str(step), "ema")):
+            items["ema"] = ocp.args.StandardRestore(state.params)
+        restored = self.manager.restore(step, args=ocp.args.Composite(**items))
+        out = TrainState(restored["params"], restored["opt_state"], jnp.asarray(step, jnp.int32))
+        if with_ema:
+            return out, restored.get("ema")
+        return out
 
 
 def episode_batches(
@@ -152,10 +179,32 @@ def train(
         os.path.join(trainer_config.output_dir, "checkpoints"),
         keep=trainer_config.checkpoints_total_limit,
     )
+    restored_ema = None
     if trainer_config.resume and ckpt.latest_step() is not None:
         step0 = ckpt.latest_step()
         logger.info(f"Resuming from checkpoint step {step0}")
-        state = ckpt.restore(step0, state)
+        shardings = _tree_shardings((state.params, state.opt_state))
+        if trainer_config.use_ema:
+            state, restored_ema = ckpt.restore(step0, state, with_ema=True)
+        else:
+            state = ckpt.restore(step0, state)
+        if mesh is not None:
+            # Re-apply the pre-restore placements (ZeRO-1 opt-state shards,
+            # the caller's param sharding): orbax returns single-device
+            # committed arrays, which would both mis-place the 1.5B-param
+            # state and key a separate step executable.
+            state = TrainState(
+                _place_like(state.params, shardings[0]),
+                _place_like(state.opt_state, shardings[1]),
+                state.step,
+            )
+            if restored_ema is not None:
+                restored_ema = _place_like(restored_ema, shardings[0])
+        elif restored_ema is not None:
+            # Single-device: decommit (orbax arrays are committed, fresh ones
+            # are not, and jit keys on that) so ema_update reuses its
+            # executable across fresh and resumed runs.
+            restored_ema = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), restored_ema)
 
     accum = trainer_config.gradient_accumulation_steps
     step_fn = make_sharded_train_step(
@@ -178,7 +227,13 @@ def train(
     running = 0.0
     t0 = time.time()
     start_step = int(state.step)
-    ema_params = jax.tree.map(lambda x: x, state.params) if trainer_config.use_ema else None
+    ema_params = None
+    if trainer_config.use_ema:
+        # Resume keeps the EMA history; fall back to the raw params only for
+        # fresh runs (or checkpoints written before EMA was enabled). Must be
+        # a REAL copy: the train step donates its state, so aliasing
+        # state.params would leave the EMA pointing at deleted buffers.
+        ema_params = restored_ema if restored_ema is not None else jax.tree.map(jnp.copy, state.params)
     ema_fn = jax.jit(ema_update, static_argnums=(2,)) if trainer_config.use_ema else None
     for step in range(start_step, trainer_config.max_steps):
         if accum == 1:
@@ -213,7 +268,7 @@ def train(
             running, t0 = 0.0, time.time()
 
         if (step + 1) % trainer_config.checkpointing_steps == 0:
-            ckpt.save(step + 1, state)
+            ckpt.save(step + 1, state, ema_params=ema_params)
             logger.info(f"checkpoint saved at step {step + 1}")
 
         if validation_fn is not None and (step + 1) % trainer_config.validation_steps == 0:
@@ -223,7 +278,7 @@ def train(
             )
 
     if int(state.step) > start_step:
-        ckpt.save(int(state.step), state)
+        ckpt.save(int(state.step), state, ema_params=ema_params)
         logger.info(f"final checkpoint saved at step {int(state.step)}")
     if ema_params is not None:
         return dataclasses.replace(state, params=ema_params)

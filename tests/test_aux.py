@@ -114,6 +114,47 @@ class TestConfig:
         assert cfg.trainer.checkpointing_steps == 250
         assert cfg.train.zero_stage == 2
 
+    def test_train_cli_rejects_derived_trainer_flags(self):
+        # output_dir / max_steps are derived from runtime.save_dir /
+        # train.total_steps; silent clobbering would be a footgun.
+        import pytest
+
+        from evoworld_tpu.cli.train import main
+
+        with pytest.raises(SystemExit, match="runtime.save_dir"):
+            main(["--trainer.output_dir=/x"])
+        with pytest.raises(SystemExit, match="train.total_steps"):
+            main(["--trainer.max_steps=7"])
+
+
+class TestCubeToPanoLayouts:
+    def test_discover_frame_dirs(self, tmp_path):
+        from evoworld_tpu.cli.cube_to_pano import discover_frames
+        from evoworld_tpu.data.engine import FACE_ORDER
+
+        for frame in ("000", "001"):
+            (tmp_path / frame).mkdir()
+            for f in FACE_ORDER:
+                (tmp_path / frame / f"{f}.png").touch()
+        frames = discover_frames(str(tmp_path))
+        assert list(frames) == ["000", "001"]
+        assert [p.endswith(f"{f}.png") for p, f in zip(frames["000"], FACE_ORDER)]
+
+    def test_discover_flat_ue_layout(self, tmp_path):
+        # Reference UE captures are flat <id>_<face>.png files
+        # (cube_to_pano_batched_io_UE.py:252).
+        from evoworld_tpu.cli.cube_to_pano import discover_frames
+        from evoworld_tpu.data.engine import FACE_ORDER
+
+        for fid in (2, 10):
+            for f in FACE_ORDER:
+                (tmp_path / f"{fid}_{f}.png").touch()
+        (tmp_path / "10_extra.txt").touch()
+        (tmp_path / "3_front.png").touch()  # incomplete frame: skipped
+        frames = discover_frames(str(tmp_path))
+        assert list(frames) == ["2", "10"]  # numeric sort, not lexicographic
+        assert frames["2"][4].endswith("2_front.png")
+
     def test_unknown_field_rejected(self):
         import pytest
 
@@ -142,6 +183,41 @@ class TestCheckpointManager:
         restored = mgr.restore(3, zero)
         np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(8.0))
         assert int(restored.step) == 3
+
+    def test_ema_persists_across_restore(self, tmp_path):
+        # Resume must keep the EMA history (reference EMAModel state is
+        # persisted via the accelerate hooks, train_evoworld.py:236-269).
+        from evoworld_tpu.train.train_step import TrainState
+        from evoworld_tpu.train.trainer import CheckpointManager
+
+        params = {"w": jnp.ones(4)}
+        state = TrainState(params, {"m": jnp.zeros(4)}, jnp.asarray(5, jnp.int32))
+        ema = {"w": jnp.full((4,), 0.25)}
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+        mgr.save(5, state, ema_params=ema)
+
+        zero = TrainState(
+            jax.tree.map(jnp.zeros_like, params),
+            {"m": jnp.zeros(4)},
+            jnp.asarray(0, jnp.int32),
+        )
+        restored, restored_ema = mgr.restore(5, zero, with_ema=True)
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]), 1.0)
+        np.testing.assert_array_equal(np.asarray(restored_ema["w"]), 0.25)
+
+    def test_with_ema_on_ema_less_checkpoint(self, tmp_path):
+        # Checkpoints written without EMA restore gracefully (ema -> None).
+        from evoworld_tpu.train.train_step import TrainState
+        from evoworld_tpu.train.trainer import CheckpointManager
+
+        params = {"w": jnp.ones(2)}
+        state = TrainState(params, {"m": jnp.zeros(2)}, jnp.asarray(1, jnp.int32))
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+        mgr.save(1, state)
+        zero = TrainState({"w": jnp.zeros(2)}, {"m": jnp.zeros(2)}, jnp.asarray(0, jnp.int32))
+        restored, restored_ema = mgr.restore(1, zero, with_ema=True)
+        assert restored_ema is None
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]), 1.0)
 
 
 class TestEMA:
