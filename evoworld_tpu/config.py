@@ -47,6 +47,7 @@ class RuntimeConfig:
     vggt_checkpoint: Optional[str] = None
     vggt_tiny: bool = False  # small random VGGT (CPU demos / smoke runs)
     metric_weights_dir: str = ""  # dir with lpips.pt / inception_v4.pt / i3d.pt
+    dreamsim_variant: str = "dino_vitb16"  # "dino_vitb16" | "ensemble"
     allow_random_weights: bool = True
     save_dir: str = "outputs"
     profile: bool = False

@@ -1,19 +1,26 @@
-"""DreamSim perceptual distance (single-branch dino_vitb16 variant).
+"""DreamSim perceptual distance (dino_vitb16 single-branch + full ensemble).
 
 The reference scores image pairs with the `dreamsim` package
 (/root/reference/evoworld/metrics/other_metrics/calculate_dreamsim.py:11-17:
-model from `dreamsim(pretrained=True)`, score = model(img1, img2)). The
-published DreamSim default is an ENSEMBLE of LoRA-finetuned ViTs; this module
-implements the published single-branch `dreamsim-dino_vitb16` variant —
-a DINO ViT-B/16 backbone whose CLS embedding is compared by cosine distance:
+model from `dreamsim(pretrained=True)`, score = model(img1, img2)). Two
+variants are implemented, mirroring the published DreamSim options:
 
-    d(a, b) = 1 - cos(f(a), f(b))
+- `DreamSim` — the single-branch `dreamsim-dino_vitb16` variant: a DINO
+  ViT-B/16 backbone whose CLS embedding is compared by cosine distance,
+  d(a, b) = 1 - cos(f(a), f(b)).
+- `DreamSimEnsemble` — the package default: three LoRA-merged ViT branches
+  (dino_vitb16 CLS 768-d, OpenAI clip_vitb32 projected 512-d with QuickGELU,
+  open_clip_vitb32 projected 512-d with exact GELU). Each branch embedding
+  is L2-normalized, the three are concatenated into the published 1792-d
+  DreamSim embedding, and pairs are compared by cosine distance over the
+  concatenation. Per-branch input normalization (ImageNet stats for DINO,
+  CLIP stats for both CLIP branches) follows the upstream extractors.
 
-Weights convert from a torch DINO-style state dict (the dreamsim checkpoint's
-merged backbone) via `convert_dino_state_dict`; without weights (zero-egress
-image) a fixed seed-0 random backbone still yields a consistent relative
-score. The ensemble variant is a documented non-goal: it triples the compute
-for a metric the reference only exposes as an auxiliary pair scorer.
+Weights convert from per-branch torch state dicts (the dreamsim checkpoint's
+merged backbones): DINO naming via `convert_dino_state_dict`, OpenAI
+`visual.*` CLIP naming via `convert_openai_clip_visual` (open_clip uses the
+same visual-trunk naming). Without weights (zero-egress image) fixed seed-0
+random backbones still yield consistent relative scores.
 """
 
 from __future__ import annotations
@@ -172,3 +179,151 @@ def convert_dino_state_dict(src: Mapping[str, np.ndarray]) -> Tuple[dict, list]:
     leftover = sorted(set(src) - used - {"mask_token"})
     report.extend(f"unmapped source key {k}" for k in leftover)
     return {"params": out}, report
+
+
+# ---------------------------------------------------------------------------
+# Ensemble variant (dino_vitb16 + clip_vitb32 + open_clip_vitb32 -> 1792-d)
+# ---------------------------------------------------------------------------
+
+def _clip_b32_config(hidden_act: str):
+    from evoworld_tpu.models.clip import CLIPVisionConfig
+
+    return CLIPVisionConfig(
+        patch_size=32, hidden_size=768, num_layers=12, num_heads=12,
+        mlp_dim=3072, projection_dim=512, hidden_act=hidden_act,
+    )
+
+
+def openai_to_transformers_clip(src: Mapping[str, np.ndarray]) -> Tuple[dict, list]:
+    """OpenAI CLIP `visual.*` naming -> transformers CLIPVisionModelWithProjection
+    naming (open_clip ViT state dicts use the same visual-trunk layout).
+
+    The fused `attn.in_proj_weight/bias` rows split into q/k/v thirds; the
+    `visual.proj` matrix is stored as (hidden, out) and used as `x @ proj`,
+    so it transposes into transformers' (out, hidden) `visual_projection.weight`.
+    Returns (remapped dict, report of unmapped keys).
+    """
+    out: dict = {}
+    report: list = []
+    pfx = "vision_model."
+    static = {
+        "visual.conv1.weight": pfx + "embeddings.patch_embedding.weight",
+        "visual.class_embedding": pfx + "embeddings.class_embedding",
+        "visual.positional_embedding": pfx + "embeddings.position_embedding.weight",
+        "visual.ln_pre.weight": pfx + "pre_layrnorm.weight",
+        "visual.ln_pre.bias": pfx + "pre_layrnorm.bias",
+        "visual.ln_post.weight": pfx + "post_layernorm.weight",
+        "visual.ln_post.bias": pfx + "post_layernorm.bias",
+    }
+    for k, v in src.items():
+        if not k.startswith("visual."):
+            continue  # text tower / logit scale — not part of the branch
+        a = np.asarray(v)
+        if k in static:
+            out[static[k]] = a
+        elif k == "visual.proj":
+            out["visual_projection.weight"] = a.T
+        elif k.startswith("visual.transformer.resblocks."):
+            rest = k[len("visual.transformer.resblocks."):]
+            i, name = rest.split(".", 1)
+            d = pfx + f"encoder.layers.{i}."
+            if name in ("ln_1.weight", "ln_1.bias", "ln_2.weight", "ln_2.bias"):
+                ln, wb = name.split(".")
+                out[d + f"layer_norm{ln[-1]}.{wb}"] = a
+            elif name in ("attn.in_proj_weight", "attn.in_proj_bias"):
+                wb = name.rsplit("_", 1)[1]  # "weight" | "bias"
+                for proj, third in zip(("q_proj", "k_proj", "v_proj"),
+                                       np.split(a, 3, axis=0)):
+                    out[d + f"self_attn.{proj}.{wb}"] = third
+            elif name.startswith("attn.out_proj."):
+                out[d + "self_attn." + name[len("attn."):]] = a
+            elif name.startswith("mlp.c_fc."):
+                out[d + "mlp.fc1." + name.rsplit(".", 1)[1]] = a
+            elif name.startswith("mlp.c_proj."):
+                out[d + "mlp.fc2." + name.rsplit(".", 1)[1]] = a
+            else:
+                report.append(f"unmapped source key {k}")
+        else:
+            report.append(f"unmapped source key {k}")
+    return out, report
+
+
+def convert_openai_clip_visual(src: Mapping[str, np.ndarray]) -> Tuple[dict, list]:
+    """OpenAI/open_clip `visual.*` state dict -> CLIPVisionTower params."""
+    from evoworld_tpu.models.weights import convert_clip_state_dict
+
+    remapped, report = openai_to_transformers_clip(src)
+    try:
+        params = convert_clip_state_dict(remapped)
+    except KeyError as exc:
+        report.append(f"missing {exc}")
+        params = {"params": {}}
+    return params, report
+
+
+class DreamSimEnsemble:
+    """Published DreamSim default: 3-branch ViT ensemble, 1792-d embedding.
+
+    branch_params maps branch name ("dino_vitb16" | "clip_vitb32" |
+    "open_clip_vitb32") to converted Flax params; absent branches fall back
+    to fixed seed-0 random weights.
+    """
+
+    BRANCHES = ("dino_vitb16", "clip_vitb32", "open_clip_vitb32")
+
+    def __init__(self, branch_params: Mapping[str, dict] | None = None, seed: int = 0):
+        from evoworld_tpu.models.clip import CLIP_MEAN, CLIP_STD, CLIPVisionTower
+
+        branch_params = dict(branch_params or {})
+        dummy = jnp.zeros((1, 224, 224, 3))
+        models = {
+            "dino_vitb16": DinoViT(),
+            "clip_vitb32": CLIPVisionTower(_clip_b32_config("quick_gelu")),
+            "open_clip_vitb32": CLIPVisionTower(_clip_b32_config("gelu")),
+        }
+        self._norms = {
+            "dino_vitb16": (_IMAGENET_MEAN, _IMAGENET_STD),
+            "clip_vitb32": (CLIP_MEAN, CLIP_STD),
+            "open_clip_vitb32": (CLIP_MEAN, CLIP_STD),
+        }
+        converted = [b for b in self.BRANCHES if b in branch_params]
+        self.weights_tag = (
+            "converted:" + ",".join(converted) if converted else "random_seed0"
+        )
+        self._embeds = {}
+        for name, model in models.items():
+            params = branch_params.get(name)
+            if params is None:
+                params = model.init(jax.random.key(seed), dummy)
+            self._embeds[name] = jax.jit(
+                lambda x, m=model, p=params: m.apply(p, x)
+            )
+
+    def embed(self, images: np.ndarray) -> np.ndarray:
+        """(N, H, W, 3) [0,1] -> (N, 1792) concatenated per-branch-normalized."""
+        x = jax.image.resize(jnp.asarray(images, jnp.float32),
+                             (images.shape[0], 224, 224, 3), "bilinear")
+        feats = []
+        for name in self.BRANCHES:
+            mean, std = self._norms[name]
+            f = np.asarray(self._embeds[name]((x - mean) / std), np.float64)
+            feats.append(f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12))
+        return np.concatenate(feats, axis=-1)
+
+    def __call__(self, img1: np.ndarray, img2: np.ndarray) -> np.ndarray:
+        """(N, H, W, 3) [0,1] pairs -> (N,) cosine distances."""
+        a = self.embed(img1[None] if img1.ndim == 3 else img1)
+        b = self.embed(img2[None] if img2.ndim == 3 else img2)
+        a = a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+        b = b / np.maximum(np.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+        return 1.0 - (a * b).sum(-1)
+
+
+def make_dreamsim(variant: str = "dino_vitb16", branch_params=None, seed: int = 0):
+    """Factory over the two implemented DreamSim variants."""
+    if variant == "ensemble":
+        return DreamSimEnsemble(branch_params, seed=seed)
+    if variant == "dino_vitb16":
+        params = (branch_params or {}).get("dino_vitb16")
+        return DreamSim(params, seed=seed)
+    raise ValueError(f"unknown dreamsim variant {variant!r}")

@@ -36,6 +36,10 @@ class CLIPVisionConfig:
     mlp_dim: int = 5120
     projection_dim: int = 1024
     layer_norm_eps: float = 1e-5
+    # "gelu" (exact, the SVD image encoder / laion ViT-H) or "quick_gelu"
+    # (x·sigmoid(1.702x), OpenAI CLIP checkpoints e.g. the DreamSim
+    # clip_vitb32 branch).
+    hidden_act: str = "gelu"
 
 
 class CLIPEncoderLayer(nn.Module):
@@ -54,7 +58,10 @@ class CLIPEncoderLayer(nn.Module):
         x = x + nn.Dense(cfg.hidden_size, name="out_proj", dtype=x.dtype)(attn)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm2")(x)
         h = nn.Dense(cfg.mlp_dim, name="fc1", dtype=x.dtype)(h)
-        h = nn.gelu(h, approximate=False)
+        if cfg.hidden_act == "quick_gelu":
+            h = h * nn.sigmoid(1.702 * h)
+        else:
+            h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, name="fc2", dtype=x.dtype)(h)
         return x + h
 
