@@ -31,16 +31,18 @@ class Unit3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # torch I3D uses 'same'-style padding computed per dim.
-        pads = [((k - 1) // 2, k - 1 - (k - 1) // 2) for k in self.kernel]
+        # torch I3D (pytorch_i3d.py:78-105) computes TF-'SAME' padding
+        # dynamically per dim — for stride 2 at even sizes that is (2,3),
+        # NOT symmetric. XLA's "SAME" implements exactly that split.
         x = nn.Conv(
             self.features, self.kernel, strides=self.strides,
-            padding=pads, use_bias=not self.use_bn, name="conv3d", dtype=x.dtype,
+            padding="SAME", use_bias=not self.use_bn, name="conv3d", dtype=x.dtype,
         )(x)
         if self.use_bn:
-            # Inference-mode batch norm: scale/bias/mean/var loaded from ckpt.
+            # Inference-mode batch norm: scale/bias/mean/var loaded from ckpt
+            # (torch BatchNorm3d eps=1e-5, pytorch_i3d.py:68).
             x = nn.BatchNorm(
-                use_running_average=True, epsilon=1e-3, momentum=0.99,
+                use_running_average=True, epsilon=1e-5, momentum=0.99,
                 name="bn", dtype=jnp.float32,
             )(x)
         if self.activation:
@@ -77,26 +79,35 @@ class InceptionI3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # Max pools mirror the torch model's MaxPool3dSamePadding (TF-'SAME'
+        # dynamic padding, pytorch_i3d.py:15-34); after ReLU all activations
+        # are >= 0, so -inf vs 0 pad values cannot change any window max.
         x = Unit3D(64, (7, 7, 7), (2, 2, 2), name="Conv3d_1a_7x7")(x)
-        x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2), padding=((0, 0), (1, 1), (1, 1)))
+        x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2), padding="SAME")
         x = Unit3D(64, name="Conv3d_2b_1x1")(x)
         x = Unit3D(192, (3, 3, 3), name="Conv3d_2c_3x3")(x)
-        x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2), padding=((0, 0), (1, 1), (1, 1)))
+        x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2), padding="SAME")
         x = InceptionBlock((64, 96, 128, 16, 32, 32), name="Mixed_3b")(x)
         x = InceptionBlock((128, 128, 192, 32, 96, 64), name="Mixed_3c")(x)
-        x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1), (1, 1), (1, 1)))
+        x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding="SAME")
         x = InceptionBlock((192, 96, 208, 16, 48, 64), name="Mixed_4b")(x)
         x = InceptionBlock((160, 112, 224, 24, 64, 64), name="Mixed_4c")(x)
         x = InceptionBlock((128, 128, 256, 24, 64, 64), name="Mixed_4d")(x)
         x = InceptionBlock((112, 144, 288, 32, 64, 64), name="Mixed_4e")(x)
         x = InceptionBlock((256, 160, 320, 32, 128, 128), name="Mixed_4f")(x)
-        x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2), padding="VALID")
+        x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2), padding="SAME")
         x = InceptionBlock((256, 160, 320, 32, 128, 128), name="Mixed_5b")(x)
         x = InceptionBlock((384, 192, 384, 48, 128, 128), name="Mixed_5c")(x)
-        # Global average pool over (T', H', W'), then 1x1x1 logits conv.
-        x = jnp.mean(x, axis=(2, 3), keepdims=True)       # spatial
+        # Head mirrors torch avg_pool([2,7,7], stride 1) + logits + time mean
+        # (pytorch_i3d.py:301-310): global spatial mean (the 7x7 window IS
+        # the whole 224-input feature map), sliding temporal mean of width 2,
+        # 1x1x1 logits conv (linear, so conv-vs-pool order commutes), then
+        # mean over the T'-1 window positions.
+        x = jnp.mean(x, axis=(2, 3), keepdims=True)        # spatial
+        if x.shape[1] > 1:
+            x = (x[:, :-1] + x[:, 1:]) / 2                 # temporal window 2
         x = Unit3D(self.num_classes, use_bn=False, activation=False, name="logits")(x)
-        return jnp.mean(x, axis=(1, 2, 3))                # temporal average
+        return jnp.mean(x, axis=(1, 2, 3))                 # window-position mean
 
 
 _ALEX_CFG = ((64, 11, 4, 2), (192, 5, 1, 2), (384, 3, 1, 1), (256, 3, 1, 1), (256, 3, 1, 1))

@@ -1,0 +1,59 @@
+"""Non-circular numerical parity for the FVD I3D feature net.
+
+The reference vendors a complete first-party torch InceptionI3d
+(/root/reference/evoworld/metrics/fvd/videogpt/pytorch_i3d.py). Importing it
+as the golden (the same pattern tests/test_geometry.py uses for geometry
+golden values) breaks the converter-test circularity: a random-init torch
+model's state dict converts through `convert_i3d_state_dict` and must
+reproduce the torch logits through our Flax InceptionI3D — TF-'SAME' dynamic
+padding, BN eps, and the avg_pool([2,7,7]) + logits + time-mean head all have
+to line up for this to pass.
+"""
+
+import importlib.util
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evoworld_tpu.eval.feature_nets import InceptionI3D
+from evoworld_tpu.eval.weights import convert_i3d_state_dict_with_report
+
+_REF = "/root/reference/evoworld/metrics/fvd/videogpt/pytorch_i3d.py"
+
+
+def _load_reference_i3d():
+    spec = importlib.util.spec_from_file_location("ref_pytorch_i3d", _REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestI3DParity:
+    @pytest.mark.parametrize("frames", [9, 25])
+    def test_logits_match_reference_torch(self, frames):
+        torch = pytest.importorskip("torch")
+        ref = _load_reference_i3d()
+
+        torch.manual_seed(0)
+        model = ref.InceptionI3d(num_classes=400, in_channels=3).eval()
+
+        rng = np.random.default_rng(0)
+        # (N, 3, T, 224, 224) in [-1, 1]; 224 is required (the torch head's
+        # 7x7 avg-pool window must cover Mixed_5c's spatial map exactly).
+        x = rng.uniform(-1, 1, size=(1, 3, frames, 224, 224)).astype(np.float32)
+        with torch.no_grad():
+            want = model(torch.tensor(x)).numpy()
+        assert want.shape == (1, 400)
+
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        params, report = convert_i3d_state_dict_with_report(sd)
+        assert report == [], report[:8]
+
+        ours = InceptionI3D()
+        xj = jnp.asarray(x.transpose(0, 2, 3, 4, 1))  # channels-last
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(ours.apply(params, xj))
+
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
