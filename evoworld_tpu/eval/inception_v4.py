@@ -40,7 +40,8 @@ class MixedA(nn.Module):  # Inception-A
         b2 = ConvBN(64, name="b2a")(x)
         b2 = ConvBN(96, (3, 3), padding=1, name="b2b")(b2)
         b2 = ConvBN(96, (3, 3), padding=1, name="b2c")(b2)
-        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                         count_include_pad=False)
         b3 = ConvBN(96, name="b3b")(b3)
         return jnp.concatenate([b0, b1, b2, b3], -1)
 
@@ -68,7 +69,8 @@ class MixedB(nn.Module):  # Inception-B (7x1/1x7 factorized)
         b2 = ConvBN(224, (1, 7), padding="SAME", name="b2c")(b2)
         b2 = ConvBN(224, (7, 1), padding="SAME", name="b2d")(b2)
         b2 = ConvBN(256, (1, 7), padding="SAME", name="b2e")(b2)
-        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                         count_include_pad=False)
         b3 = ConvBN(128, name="b3b")(b3)
         return jnp.concatenate([b0, b1, b2, b3], -1)
 
@@ -98,7 +100,8 @@ class MixedC(nn.Module):  # Inception-C
         b2 = ConvBN(512, (1, 3), padding="SAME", name="b2c")(b2)
         b2_1 = ConvBN(256, (1, 3), padding="SAME", name="b2d1")(b2)
         b2_2 = ConvBN(256, (3, 1), padding="SAME", name="b2d2")(b2)
-        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                         count_include_pad=False)
         b3 = ConvBN(256, name="b3b")(b3)
         return jnp.concatenate([b0, b1_1, b1_2, b2_1, b2_2, b3], -1)
 
