@@ -161,6 +161,69 @@ class TestOpenAICLIPConverter:
         np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+class TestDinoViTParityVsTransformers:
+    def test_cls_embedding_matches_vit_model(self):
+        """Non-circular: a transformers ViTModel (DINO v1 is a stock pre-norm
+        ViT, eps 1e-6) is the golden. Its state dict renames mechanically to
+        facebook-DINO naming (qkv = [q;k;v] concat), runs through
+        convert_dino_state_dict, and our DinoViT must reproduce the CLS
+        embedding of the final layernorm output."""
+        torch = pytest.importorskip("torch")
+        from transformers import ViTConfig, ViTModel
+
+        dim, depth, heads, patch, image = 32, 2, 4, 16, 64
+        cfg = ViTConfig(
+            hidden_size=dim, num_hidden_layers=depth, num_attention_heads=heads,
+            intermediate_size=4 * dim, image_size=image, patch_size=patch,
+            hidden_act="gelu", layer_norm_eps=1e-6,
+        )
+        torch.manual_seed(0)
+        hf = ViTModel(cfg, add_pooling_layer=False).eval()
+
+        x = np.random.default_rng(0).normal(size=(2, 3, image, image)).astype(np.float32) * 0.5
+        with torch.no_grad():
+            want = hf(torch.tensor(x)).last_hidden_state[:, 0].numpy()
+
+        sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+        renamed = {
+            "cls_token": sd["embeddings.cls_token"],
+            "pos_embed": sd["embeddings.position_embeddings"],
+            "patch_embed.proj.weight": sd["embeddings.patch_embeddings.projection.weight"],
+            "patch_embed.proj.bias": sd["embeddings.patch_embeddings.projection.bias"],
+            "norm.weight": sd["layernorm.weight"],
+            "norm.bias": sd["layernorm.bias"],
+        }
+        for i in range(depth):
+            p, d = f"encoder.layer.{i}", f"blocks.{i}"
+            att = f"{p}.attention.attention"
+            renamed[f"{d}.attn.qkv.weight"] = np.concatenate(
+                [sd[f"{att}.{n}.weight"] for n in ("query", "key", "value")], axis=0
+            )
+            renamed[f"{d}.attn.qkv.bias"] = np.concatenate(
+                [sd[f"{att}.{n}.bias"] for n in ("query", "key", "value")], axis=0
+            )
+            renamed[f"{d}.attn.proj.weight"] = sd[f"{p}.attention.output.dense.weight"]
+            renamed[f"{d}.attn.proj.bias"] = sd[f"{p}.attention.output.dense.bias"]
+            renamed[f"{d}.norm1.weight"] = sd[f"{p}.layernorm_before.weight"]
+            renamed[f"{d}.norm1.bias"] = sd[f"{p}.layernorm_before.bias"]
+            renamed[f"{d}.norm2.weight"] = sd[f"{p}.layernorm_after.weight"]
+            renamed[f"{d}.norm2.bias"] = sd[f"{p}.layernorm_after.bias"]
+            renamed[f"{d}.mlp.fc1.weight"] = sd[f"{p}.intermediate.dense.weight"]
+            renamed[f"{d}.mlp.fc1.bias"] = sd[f"{p}.intermediate.dense.bias"]
+            renamed[f"{d}.mlp.fc2.weight"] = sd[f"{p}.output.dense.weight"]
+            renamed[f"{d}.mlp.fc2.bias"] = sd[f"{p}.output.dense.bias"]
+
+        params, report = convert_dino_state_dict(renamed)
+        assert report == [], report[:6]
+
+        model = DinoViT(embed_dim=dim, depth=depth, num_heads=heads, patch_size=patch)
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(model.apply(
+                jax.tree.map(jnp.asarray, params), jnp.asarray(x.transpose(0, 2, 3, 1))
+            ))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+
+
 class TestDreamSimEnsemble:
     def test_embed_dim_and_score_properties(self):
         rng = np.random.default_rng(0)
