@@ -76,12 +76,16 @@ def frechet_distance(feats1: np.ndarray, feats2: np.ndarray) -> float:
     from scipy.linalg import sqrtm
 
     mu1, mu2 = feats1.mean(0), feats2.mean(0)
+    diff = mu1 - mu2
+    if feats1.shape[0] <= 1 or feats2.shape[0] <= 1:
+        # Single-sample fallback (reference: fvd.py:85-89 skips the
+        # covariance term when only one video is scored).
+        return float(diff @ diff)
     sigma1 = np.cov(feats1, rowvar=False)
     sigma2 = np.cov(feats2, rowvar=False)
     covmean = sqrtm(sigma1 @ sigma2)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
-    diff = mu1 - mu2
     return float(diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
 
 
