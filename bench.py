@@ -18,12 +18,19 @@ import json
 import sys
 import time
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from evoworld_tpu.utils.compile_cache import enable_persistent_cache
 
 enable_persistent_cache()
+
+# Explicit platform pin for the tunnel-down CPU fallback subprocess: the
+# JAX_PLATFORMS env var alone is not honored once the axon plugin registers.
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
 
 def build_pipeline(small: bool):
@@ -63,11 +70,57 @@ def run_once(pipeline, config, key, mask):
     return float(jnp.sum(out[..., 0, 0, 0]))
 
 
+def _device_reachable(timeout_s: float = 600.0) -> bool:
+    """True iff a trivial op completes on the active backend within timeout.
+
+    The axon TPU tunnel can wedge indefinitely (worker recovery); a hung
+    first jit would make the driver record nothing. A healthy tunnel
+    completes a trivial dispatch in ~100 s, so a 10-minute ceiling cleanly
+    separates "tunnel down" from "slow compile".
+    """
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        try:
+            float(jnp.sum(jnp.ones(()) + 1.0))
+            done.set()
+        except Exception:  # noqa: BLE001 — treated as unreachable
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    return done.wait(timeout_s)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--small", action="store_true", help="tiny smoke config")
     parser.add_argument("--repeats", type=int, default=2)
     args = parser.parse_args()
+
+    if not args.small and not _device_reachable():
+        # Tunnel wedged: re-pin to CPU in a fresh interpreter and record the
+        # honestly-labeled smoke number rather than hanging the driver.
+        # (The hung backend thread cannot be killed in-process.)
+        import subprocess
+
+        print("# device unreachable after 600s; falling back to --small on CPU",
+              file=sys.stderr)
+        env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_PLATFORM="cpu")
+        out = subprocess.run(
+            [sys.executable, __file__, "--small", "--repeats", str(args.repeats)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        sys.stderr.write(out.stderr)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            raise SystemExit("cpu fallback also failed")
+        rec = json.loads(line[-1])
+        rec["note"] = "TPU tunnel unreachable; CPU smoke config (not the headline metric)"
+        print(json.dumps(rec))
+        return
 
     # Size ladder: full target first; on runtime failure (HBM pressure /
     # worker fault) fall back so the driver always records a number.
