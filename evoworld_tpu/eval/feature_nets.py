@@ -157,9 +157,22 @@ class LPIPSAlex(nn.Module):
 
 
 def i3d_preprocess(videos: jnp.ndarray, target: int = 224) -> jnp.ndarray:
-    """(N, T, H, W, 3) [0, 1] -> I3D input: resized to 224, rescaled [-1, 1]."""
+    """(N, T, H, W, 3) [0, 1] -> I3D input, rescaled to [-1, 1].
+
+    Mirrors the reference's preprocess_single (fvd/styleganv/fvd.py:37-59):
+    scale the SHORTER side to `target` (bilinear, half-pixel centers ==
+    torch align_corners=False), then center-crop to target x target — NOT a
+    square squash, so wide panoramas keep their central square."""
+    import math
+
     import jax
 
     n, t, h, w, c = videos.shape
-    out = jax.image.resize(videos, (n, t, target, target, c), "bilinear")
+    scale = target / min(h, w)
+    rh, rw = (target, math.ceil(w * scale)) if h < w else (math.ceil(h * scale), target)
+    # antialias=False: the reference downscales with plain (aliased)
+    # F.interpolate bilinear; jax.image.resize antialiases by default.
+    out = jax.image.resize(videos, (n, t, rh, rw, c), "bilinear", antialias=False)
+    h0, w0 = (rh - target) // 2, (rw - target) // 2
+    out = out[:, :, h0 : h0 + target, w0 : w0 + target]
     return out * 2.0 - 1.0

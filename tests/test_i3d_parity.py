@@ -57,3 +57,30 @@ class TestI3DParity:
             got = np.asarray(ours.apply(params, xj))
 
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+    @pytest.mark.parametrize("hw", [(576, 1024), (224, 224), (300, 200)])
+    def test_preprocess_matches_reference(self, hw):
+        """Shorter-side scale + center crop + [-1,1] rescale must match the
+        reference's preprocess_single (fvd/styleganv/fvd.py:37-59)."""
+        torch = pytest.importorskip("torch")
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_styleganv_fvd",
+            "/root/reference/evoworld/metrics/fvd/styleganv/fvd.py",
+        )
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+
+        from evoworld_tpu.eval.feature_nets import i3d_preprocess
+
+        h, w = hw
+        rng = np.random.default_rng(1)
+        vid = rng.uniform(size=(2, 3, h, w, 3)).astype(np.float32)  # (N,T,H,W,C)
+        with torch.no_grad():
+            want = np.stack([
+                ref.preprocess_single(torch.tensor(v.transpose(3, 0, 1, 2))).numpy()
+                for v in vid
+            ])  # (N, C, T, 224, 224)
+        got = np.asarray(i3d_preprocess(vid)).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
