@@ -1,0 +1,117 @@
+"""End-to-end drives of the thin CLI entry points on tiny fixtures.
+
+Each test calls a CLI `main()` exactly as a user would (dotted overrides,
+real files on disk) and checks the on-disk artifacts — the package-boundary
+contract SURVEY.md §4's test plan assigns to the CLI layer.
+"""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REF_EPISODE = "/root/reference/example/case_000"
+REF_CAM = os.path.join(REF_EPISODE, "camera_poses.txt")
+
+
+def _write_png(path, h=32, w=48, seed=0):
+    rng = np.random.default_rng(seed)
+    arr = (rng.uniform(0, 1, (h, w, 3)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+class TestPanoToPersCLI:
+    def test_look_at_center_extraction(self, tmp_path):
+        ep = tmp_path / "ep"
+        (ep / "panorama").mkdir(parents=True)
+        shutil.copy(REF_CAM, ep / "camera_poses.txt")
+        for i in range(1, 5):
+            _write_png(str(ep / "panorama" / f"{i:03d}.png"), 64, 128, i)
+
+        from evoworld_tpu.cli.pano_to_pers import main
+
+        main([f"--data.root={ep}", "--loop.pers_height=24", "--loop.pers_width=32"])
+
+        out = ep / "perspective_look_at_center"
+        assert sorted(os.listdir(out)) == [f"{i:03d}.png" for i in range(1, 5)]
+        assert Image.open(out / "001.png").size == (32, 24)
+        cam_out = (ep / "camera_poses_look_at_center.txt").read_text().splitlines()
+        assert cam_out[0] == "Frame,PosX,PosY,PosZ,RotX,RotY,RotZ"
+        assert len(cam_out) == len(open(REF_CAM).readlines())
+        # Idempotent skip (reference reproject offline tools contract).
+        main([f"--data.root={ep}", "--loop.pers_height=24", "--loop.pers_width=32"])
+
+
+class TestPanoToPersPerSegmentCLI:
+    def test_prior_segment_aggregation(self, tmp_path):
+        ep = tmp_path / "ep"
+        ep.mkdir()
+        shutil.copy(REF_CAM, ep / "camera_poses.txt")
+        # Segment dirs: names 01/02 in _0; 02/03 in _1 -> dedup keeps 01,02,03.
+        (ep / "predictions_0").mkdir()
+        (ep / "predictions_1").mkdir()
+        for n in ("01", "02"):
+            _write_png(str(ep / "predictions_0" / f"{n}.png"), 64, 128, int(n))
+        for n in ("02", "03"):
+            _write_png(str(ep / "predictions_1" / f"{n}.png"), 64, 128, 10 + int(n))
+
+        from evoworld_tpu.cli.pano_to_pers_per_segment import main
+
+        main([f"--data.root={ep}/predictions_1",
+              "--loop.pers_height=24", "--loop.pers_width=32"])
+
+        out = ep / "perspective_1"
+        assert sorted(os.listdir(out)) == [
+            "frame_001.png", "frame_002.png", "frame_003.png"
+        ]
+        cam_file = ep / "camera_poses_look_at_center_1.txt"
+        assert cam_file.exists()
+
+
+class TestCalculateMetricsCLI:
+    def test_writes_reference_format_eval_score(self, tmp_path):
+        root = tmp_path / "save"
+        ep = root / "case_000"
+        for sub in ("predictions_2", "predictions_gt_2"):
+            (ep / sub).mkdir(parents=True)
+            for i in range(5):
+                _write_png(str(ep / sub / f"{i:02d}.png"), 32, 48, i + (sub == "predictions_2"))
+
+        from evoworld_tpu.cli.calculate_metrics import main
+
+        main([f"--data.root={root}", "--pipeline.num_frames=5"])
+
+        scores = json.load(open(root / "eval_score.json"))
+        # FVD needs >= 2 videos and >= 10 frames; the other five reference
+        # metric families must all be present with the reference structure.
+        for key in ("ssim", "psnr", "lpips", "latent_mse", "loop_closure_latent_mse"):
+            assert key in scores, sorted(scores)
+            assert "value_mean" in scores[key], key
+        assert len(scores["psnr"]["value"]) == 5
+        assert np.isfinite(scores["latent_mse"]["value_mean"])
+
+
+class TestRunSingleSegmentCLI:
+    def test_tiny_generation_on_example_episode(self, tmp_path):
+        pytest.importorskip("PIL")
+        from evoworld_tpu.cli.run_single_segment import main
+
+        save = tmp_path / "out"
+        main([
+            f"--data.root={REF_EPISODE}",
+            f"--runtime.save_dir={save}",
+            "--runtime.model_preset=tiny",
+            "--pipeline.height=64", "--pipeline.width=128",
+            "--pipeline.num_frames=5", "--pipeline.num_steps=2",
+            "--pipeline.decode_chunk=5", "--pipeline.encode_chunk=2",
+            "--data.sequence_length=5",
+        ])
+        ep_out = save / "case_000"
+        preds = sorted(os.listdir(ep_out / "predictions"))
+        gts = sorted(os.listdir(ep_out / "predictions_gt"))
+        assert len(preds) == 5 and len(gts) == 5
+        im = Image.open(ep_out / "predictions" / preds[0])
+        assert im.size == (128, 64)
