@@ -235,6 +235,11 @@ class UnifiedLoop:
 
             if segment_id < cfg.num_segments - 1 and self.reconstructor is not None:
                 rendered = self.rebuild_memory(all_frames, camera_params, segment_id)
+                # Reconstruction/splat run single-device while the pipeline's
+                # arrays may be replicated over a mesh; re-place the renders
+                # into the pipeline's domain before they join its inputs.
+                if hasattr(current, "sharding"):
+                    rendered = jax.device_put(rendered, current.sharding)
                 memories_out.append(rendered)
                 # Next-segment memory: 25 frames = context frame + 24 renders
                 # in [-1, 1] (dataset transform convention, reference :422).

@@ -263,6 +263,13 @@ def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16,
         # host); the transient device copy is dropped when the call returns,
         # so only the pinned-host copy survives into the denoise phase.
         p = jax.device_put(params, dev_sh) if dev_sh is not None else params
+        # Align image placement with the params: on a multi-device mesh the
+        # pipeline's perspective frames arrive replicated across all chips,
+        # while VGGT runs single-device — mixed shardings fail jit.
+        leaf = jax.tree_util.tree_leaves(p)[0]
+        devices = getattr(leaf, "devices", None)
+        if devices is not None and len(devices()) == 1:
+            images = jax.device_put(jnp.asarray(images), next(iter(devices())))
         return reconstruct(p, images)
 
     return call

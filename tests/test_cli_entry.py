@@ -94,6 +94,35 @@ class TestCalculateMetricsCLI:
         assert np.isfinite(scores["latent_mse"]["value_mean"])
 
 
+class TestRunUnifiedCLI:
+    def test_tiny_two_segment_loop_on_example_episode(self, tmp_path):
+        """Flagship entry point at smoke scale: generate seg 0, reconstruct
+        (tiny VGGT) + splat-render memory, generate seg 1 conditioned on it,
+        write predictions_{0,1} + predictions_gt_{0,1} + rendered panoramas."""
+        from evoworld_tpu.cli.run_unified import main
+
+        save = tmp_path / "out"
+        main([
+            f"--data.root={REF_EPISODE}",
+            f"--runtime.save_dir={save}",
+            "--runtime.model_preset=tiny", "--runtime.vggt_tiny=true",
+            "--runtime.compute_dtype=float32",
+            "--pipeline.height=64", "--pipeline.width=128",
+            "--pipeline.num_frames=5", "--pipeline.num_steps=2",
+            "--pipeline.decode_chunk=5", "--pipeline.encode_chunk=2",
+            "--loop.num_frames=5", "--loop.num_segments=2",
+            "--loop.num_target_view=4",
+            "--loop.pers_height=28", "--loop.pers_width=42",
+        ])
+        ep = save / "case_000"
+        for seg in (0, 1):
+            assert len(os.listdir(ep / f"predictions_{seg}")) == 5 - (seg > 0)
+            assert (ep / f"predictions_gt_{seg}").is_dir()
+        mems = sorted(os.listdir(ep / "rendered_panorama_0"))
+        assert len(mems) == 4  # num_target_view rendered memory panoramas
+        assert Image.open(ep / "rendered_panorama_0" / mems[0]).size == (128, 64)
+
+
 class TestRunSingleSegmentCLI:
     def test_tiny_generation_on_example_episode(self, tmp_path):
         pytest.importorskip("PIL")
