@@ -99,7 +99,11 @@ class DreamSim:
             self.weights_tag = "random_seed0"
         else:
             self.weights_tag = "converted"
-        self._embed = jax.jit(lambda x: self.model.apply(params, x))
+        # Params as a jit ARGUMENT: closed-over params lower to HLO
+        # constants (~350 MB for ViT-B — the round-1 VGGT lesson).
+        apply = jax.jit(self.model.apply)
+        params = jax.tree.map(jnp.asarray, params)
+        self._embed = lambda x: apply(params, x)
 
     def embed(self, images: np.ndarray) -> np.ndarray:
         return np.asarray(self._embed(preprocess(images)))
@@ -295,9 +299,10 @@ class DreamSimEnsemble:
             params = branch_params.get(name)
             if params is None:
                 params = model.init(jax.random.key(seed), dummy)
-            self._embeds[name] = jax.jit(
-                lambda x, m=model, p=params: m.apply(p, x)
-            )
+            # Params as jit arguments, not closure constants (HLO-size).
+            apply = jax.jit(model.apply)
+            params = jax.tree.map(jnp.asarray, params)
+            self._embeds[name] = lambda x, a=apply, p=params: a(p, x)
 
     def embed(self, images: np.ndarray) -> np.ndarray:
         """(N, H, W, 3) [0,1] -> (N, 1792) concatenated per-branch-normalized."""

@@ -88,6 +88,8 @@ class FeatureNets:
             params = converter(self.weights[name])
         else:
             params = model.init(jax.random.key(0), *sample_args)
+        params = jax.tree.map(jnp.asarray, params)  # concrete once; also
+        # keeps params as jit ARGUMENTS (closures bake HLO constants)
         self._cache[name] = params
         return params
 
@@ -100,7 +102,8 @@ class FeatureNets:
             (jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))),
             convert_lpips_state_dict,
         )
-        return jax.jit(lambda a, b: model.apply(params, a, b)), self._tag("lpips")
+        fn = jax.jit(model.apply)
+        return (lambda a, b: fn(params, a, b)), self._tag("lpips")
 
     def inception_fn(self):
         model = InceptionV4Features()
@@ -110,7 +113,8 @@ class FeatureNets:
             "inception_v4", model, (jnp.zeros((1, 299, 299, 3)),),
             convert_inception_v4_state_dict,
         )
-        return jax.jit(lambda x: model.apply(params, x)), self._tag("inception_v4")
+        fn = jax.jit(model.apply)
+        return (lambda x: fn(params, x)), self._tag("inception_v4")
 
     def i3d_fn(self):
         model = InceptionI3D()
@@ -120,7 +124,8 @@ class FeatureNets:
             "i3d", model, (jnp.zeros((1, 10, 32, 32, 3)),),
             convert_i3d_state_dict,
         )
-        return jax.jit(lambda v: model.apply(params, v)), self._tag("i3d")
+        fn = jax.jit(model.apply)
+        return (lambda v: fn(params, v)), self._tag("i3d")
 
 
 def calculate_lpips(gen: np.ndarray, gt: np.ndarray, nets: FeatureNets) -> dict:
