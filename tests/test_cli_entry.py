@@ -94,6 +94,28 @@ class TestCalculateMetricsCLI:
         assert np.isfinite(scores["latent_mse"]["value_mean"])
 
 
+class TestConvertCheckpointCLI:
+    def test_halve_converts_float_tensors_only(self, tmp_path):
+        from safetensors.numpy import save_file
+        from safetensors import safe_open
+
+        src = str(tmp_path / "in.safetensors")
+        dst = str(tmp_path / "out.safetensors")
+        save_file({
+            "w": np.ones((4, 4), np.float32) * 0.5,
+            "idx": np.arange(3, dtype=np.int64),
+        }, src)
+
+        from evoworld_tpu.cli.convert_checkpoint import halve
+
+        halve(src, dst, "fp16")
+        with safe_open(dst, framework="np") as f:
+            w = f.get_tensor("w")
+            idx = f.get_tensor("idx")
+        assert w.dtype == np.float16 and idx.dtype == np.int64
+        np.testing.assert_allclose(w, 0.5)
+
+
 class TestRunUnifiedCLI:
     def test_tiny_two_segment_loop_on_example_episode(self, tmp_path):
         """Flagship entry point at smoke scale: generate seg 0, reconstruct
