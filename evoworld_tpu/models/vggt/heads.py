@@ -87,7 +87,11 @@ class CameraHead(nn.Module):
 
         pose = jnp.broadcast_to(empty_pose, (b, s, self.out_dim)).astype(jnp.float32)
         for it in range(self.num_iters):
-            module_input = embed_pose(jax.lax.stop_gradient(pose).astype(dtype))
+            # Upstream detaches pred_pose_enc only from iteration 1 onward;
+            # iteration 0 consumes empty_pose_tokens directly so they stay
+            # trainable (camera_head.py's `pred_pose_enc.detach()`).
+            pose_in = pose if it == 0 else jax.lax.stop_gradient(pose)
+            module_input = embed_pose(pose_in.astype(dtype))
             mod = modulation(nn.silu(module_input))
             shift, scale, gate = jnp.split(mod, 3, axis=-1)
             h = adaln_norm(tokens.astype(jnp.float32)).astype(dtype)

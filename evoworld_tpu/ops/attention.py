@@ -168,7 +168,7 @@ def multi_head_attention(
         (B, Sq, H, Dh) attention output in q's dtype.
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
-    if k.shape[1] == 1 and impl == "auto":
+    if k.shape[1] == 1 and v.shape[-1] == q.shape[-1] and impl == "auto":
         # Softmax over a single key is identically 1, so attention reduces to
         # broadcasting V over the query positions — exact, and saves the
         # kv-dim lane padding (1 -> 128) the einsum path would pay. This is

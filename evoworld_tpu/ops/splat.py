@@ -12,15 +12,17 @@ Visibility resolution is SORT-based, not scatter-min-based — XLA scatters
 with colliding indices serialize badly on TPU (the round-1 scatter-min
 renderer spent ~1.1 s/view at 4.5M points; this path measures ~85 ms/view):
 
-    1. pack (pixel_id, log-depth quantized to 10 bits) into ONE int32 sort
-       key and sort (key, point_index) — a single-key 2-operand sort;
+    1. pack (pixel_id, quantized log-depth) into ONE int32 sort key and
+       sort (key, point_index) — a single-key 2-operand sort. Depth gets
+       as many bits as the int32 budget allows (8-14 depending on H*W;
+       12+ at typical pano sizes);
     2. the first entry of each equal-pixel run is the nearest point; run
        starts scatter their point index into the image with UNIQUE indices
        (losers go to private dump slots), which XLA vectorizes;
-    3. gather exact depth/color by the winning point index (the 10-bit
-       depth quantization only affects occlusion ordering between points
-       closer than ~0.7% in depth — below the raster tolerance of the
-       reference's 8-bit rendered PNGs).
+    3. gather exact depth/color by the winning point index (at 12 depth
+       bits the quantization only affects occlusion ordering between
+       points closer than ~0.17% in depth — below the raster tolerance of
+       the reference's 8-bit rendered PNGs).
 
 When H*W is too large for the packed key (> 2^21 pixels) the same algorithm
 runs with a two-key lexicographic sort instead.
@@ -38,7 +40,21 @@ from jax import lax
 
 from evoworld_tpu.geometry.pose import invert_pose
 
-_DEPTH_BITS = 10
+_MIN_DEPTH_BITS = 8
+_MAX_DEPTH_BITS = 14
+
+
+def _depth_bits_for(num_px: int) -> int:
+    """Widest depth quantization that still packs (pixel, depth) in int32.
+
+    More bits -> finer occlusion resolution between near-coincident points
+    (at 12 bits the tie window is ~0.17% relative depth vs ~0.7% at 10).
+    Returns 0 when even _MIN_DEPTH_BITS does not fit (two-key sort path).
+    """
+    for bits in range(_MAX_DEPTH_BITS, _MIN_DEPTH_BITS - 1, -1):
+        if (num_px + 1) << bits <= jnp.iinfo(jnp.int32).max:
+            return bits
+    return 0
 
 
 def _footprint_offsets(splat_radius: int):
@@ -82,7 +98,8 @@ def _winner_indices(flat, depth, ok, num_px):
     n = flat.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    if (num_px + 1) << _DEPTH_BITS <= jnp.iinfo(jnp.int32).max:
+    depth_bits = _depth_bits_for(num_px)
+    if depth_bits:
         # Packed single-key sort: pixel in the high bits, quantized
         # log-depth in the low bits (ties broken by point index payload).
         d_ok = jnp.where(ok, depth, 1.0)
@@ -91,13 +108,13 @@ def _winner_indices(flat, depth, ok, num_px):
         hi = jnp.max(jnp.where(ok, log_d, -jnp.inf))
         lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
         hi = jnp.where(hi > lo, hi, lo + 1.0)
-        levels = (1 << _DEPTH_BITS) - 1
+        levels = (1 << depth_bits) - 1
         q = jnp.clip(
             ((log_d - lo) / (hi - lo) * levels).astype(jnp.int32), 0, levels
         )
-        key = (flat << _DEPTH_BITS) | q
+        key = (flat << depth_bits) | q
         sorted_key, sorted_idx = lax.sort((key, idx), num_keys=1)
-        sorted_pix = sorted_key >> _DEPTH_BITS
+        sorted_pix = sorted_key >> depth_bits
     else:
         depth_key = jnp.where(ok, depth, jnp.inf)
         sorted_pix, _, sorted_idx = lax.sort((flat, depth_key, idx), num_keys=2)

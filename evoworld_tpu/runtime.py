@@ -31,6 +31,31 @@ def _dtype(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[name]
 
 
+def _keep_fp32(path) -> bool:
+    """True for leaves our modules declare fp32 (norm affines, LayerScale,
+    learned pose seed) — precision-critical and tiny; everything else (conv /
+    matmul kernels, biases) goes to the compute dtype."""
+    names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+    for n in names:
+        n = str(n)
+        if "norm" in n or n in ("ls1", "ls2", "empty_pose_tokens"):
+            return True
+    return False
+
+
+def cast_compute_leaves(params, dtype):
+    """Cast matmul/conv leaves to `dtype` host-side, keeping fp32-declared
+    leaves (see _keep_fp32) in fp32. Returns numpy leaves so downstream
+    host-offload is one transfer."""
+    import numpy as np
+
+    def cast(path, x):
+        target = np.float32 if _keep_fp32(path) else jnp.dtype(dtype)
+        return np.asarray(x).astype(target)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 def _load_safetensors_dir(path: str) -> Optional[dict]:
     from evoworld_tpu.models.weights import load_safetensors
 
@@ -133,9 +158,11 @@ def build_reconstructor(config: EvoWorldConfig):
                 )
         # Keep leaves as client-side numpy: make_reconstructor's host-offload
         # then makes the single transfer straight to accelerator-host memory.
-        import numpy as np
-
-        params = jax.tree.map(lambda x: np.asarray(x).astype(jnp.dtype(dtype)), params)
+        # Cast only matmul/conv weights to the compute dtype; norm affines and
+        # LayerScale gammas stay fp32 (the modules declare them fp32, and the
+        # reference keeps fp32 master weights under autocast — casting them
+        # to bf16 loses geometry-parity headroom for nothing).
+        params = cast_compute_leaves(params, dtype)
         return make_reconstructor(VGGT(VGGTConfig()), params, dtype)
     if not rt.allow_random_weights:
         raise FileNotFoundError("no VGGT checkpoint and allow_random_weights=false")

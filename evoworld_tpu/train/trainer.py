@@ -98,6 +98,14 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
+    def _step_dir(self, step: int) -> str:
+        """Resolve the on-disk directory for `step` via the manager (honors
+        custom step name formats); falls back to the default `<dir>/<step>`."""
+        try:
+            return str(self.manager._get_read_step_directory(step, self.manager.directory))
+        except Exception:  # noqa: BLE001 — orbax-internal API drift
+            return os.path.join(self.directory, str(step))
+
     def restore(self, step: int, state: TrainState, with_ema: bool = False):
         """Restore a TrainState; with_ema also returns the saved EMA params
         (None when the checkpoint predates EMA or was written without it)."""
@@ -108,9 +116,17 @@ class CheckpointManager:
             opt_state=ocp.args.StandardRestore(state.opt_state),
         )
         # Probe the item directory rather than item_metadata(): the latter
-        # logs handler-registry warnings for every composite item.
-        if with_ema and os.path.isdir(os.path.join(self.directory, str(step), "ema")):
-            items["ema"] = ocp.args.StandardRestore(state.params)
+        # logs handler-registry warnings for every composite item. The step
+        # directory is resolved through the manager so non-default step
+        # formats (fixed-length, name prefixes) still find the ema item.
+        if with_ema:
+            if os.path.isdir(os.path.join(self._step_dir(step), "ema")):
+                items["ema"] = ocp.args.StandardRestore(state.params)
+            else:
+                logger.warning(
+                    f"checkpoint step {step} has no 'ema' item; restoring raw "
+                    "params only (EMA will reset)"
+                )
         restored = self.manager.restore(step, args=ocp.args.Composite(**items))
         out = TrainState(restored["params"], restored["opt_state"], jnp.asarray(step, jnp.int32))
         if with_ema:
