@@ -38,15 +38,32 @@ def _load_metric_weights(weights_dir: str) -> dict:
         return out
     import torch
 
-    for name in ("lpips", "inception_v4", "i3d"):
-        for ext in (".pt", ".pth"):
-            path = os.path.join(weights_dir, name + ext)
-            if os.path.exists(path):
-                sd = torch.load(path, map_location="cpu", weights_only=True)
+    # i3d_torchscript matches the reference's production FVD artifact name
+    # (fvd/styleganv/fvd.py:11: `i3d_torchscript.pt`, torch.jit.load-ed).
+    for name, aliases in (
+        ("lpips", ("lpips",)),
+        ("inception_v4", ("inception_v4",)),
+        ("i3d", ("i3d", "i3d_torchscript")),
+    ):
+        for stem in aliases:
+            for ext in (".pt", ".pth"):
+                path = os.path.join(weights_dir, stem + ext)
+                if not os.path.exists(path):
+                    continue
+                try:
+                    sd = torch.load(path, map_location="cpu", weights_only=True)
+                except Exception:
+                    # TorchScript archives (the reference's i3d_torchscript.pt)
+                    # are rejected by torch.load(weights_only=True); extract
+                    # the state dict from the scripted module instead.
+                    sd = torch.jit.load(path, map_location="cpu").state_dict()
+                    logger.info(f"{path}: TorchScript archive; using jit state dict")
                 if isinstance(sd, dict) and "state_dict" in sd:
                     sd = sd["state_dict"]
                 out[name] = {k: v.float().numpy() for k, v in sd.items()}
                 logger.info(f"loaded metric weights: {path}")
+                break
+            if name in out:
                 break
     return out
 

@@ -184,13 +184,43 @@ _I3D_MIXED = ["Mixed_3b", "Mixed_3c", "Mixed_4b", "Mixed_4c", "Mixed_4d",
 _I3D_BRANCHES = ["b0", "b1a", "b1b", "b2a", "b2b", "b3b"]
 
 
+def normalize_i3d_keys(src: Mapping[str, np.ndarray]) -> dict:
+    """Normalize I3D state-dict keys onto the videogpt/piergiaj naming.
+
+    The reference's production FVD artifact is a TorchScript archive
+    (`i3d_torchscript.pt`, loaded via torch.jit.load —
+    /root/reference/evoworld/metrics/fvd/styleganv/fvd.py:9-18). State dicts
+    extracted from scripted/wrapped modules carry container prefixes
+    (DataParallel's `module.`, scripted wrappers' `model.`/`_model.`/`i3d.`)
+    and sometimes lowercase endpoint names; strip/normalize both so the
+    converter map below applies.
+    """
+    # Canonical casing for endpoint names, keyed by lowercase. The converter
+    # map expects videogpt casing: CamelCase units/Mixed, lowercase logits.
+    canon = {n.lower(): n for n in _I3D_UNITS + _I3D_MIXED}
+    canon["logits"] = "logits"
+    out = {}
+    for k, v in src.items():
+        changed = True
+        while changed:
+            changed = False
+            for pref in ("module.", "model.", "_model.", "i3d.", "net."):
+                if k.startswith(pref):
+                    k = k[len(pref):]
+                    changed = True
+        parts = k.split(".")
+        parts[0] = canon.get(parts[0].lower(), parts[0])
+        out[".".join(parts)] = v
+    return out
+
+
 def convert_i3d_state_dict(src: Mapping[str, np.ndarray]) -> dict:
     params, report = convert_i3d_state_dict_with_report(src)
     return params
 
 
 def convert_i3d_state_dict_with_report(src) -> Tuple[dict, list]:
-    c = _Conv(src)
+    c = _Conv(normalize_i3d_keys(src))
     report: list = []
     for unit in _I3D_UNITS:
         c.conv_bn(unit, unit, report, conv3d=True, conv_name="conv3d")

@@ -58,6 +58,50 @@ class TestI3DParity:
 
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
 
+    def test_torchscript_archive_round_trip(self, tmp_path):
+        """The reference's production FVD weight is a TorchScript archive
+        (`i3d_torchscript.pt`, fvd/styleganv/fvd.py:9-18) that
+        torch.load(weights_only=True) rejects. Script the vendored reference
+        net to a jit archive, load it through the CLI's weight loader (jit
+        fallback path), and check the conversion is identical to converting
+        the plain state dict — incl. a DataParallel-style `module.` prefix."""
+        torch = pytest.importorskip("torch")
+        ref = _load_reference_i3d()
+
+        torch.manual_seed(0)
+        model = ref.InceptionI3d(num_classes=400, in_channels=3).eval()
+        path = tmp_path / "i3d_torchscript.pt"
+        # trace, not script: the vendored net's same-padding helper calls
+        # np.ceil, which TorchScript cannot compile. Tracing preserves the
+        # module tree, so state-dict names survive like the real artifact's.
+        example = torch.zeros(1, 3, 9, 224, 224)
+        with torch.no_grad():
+            torch.jit.trace(model, example).save(str(path))
+
+        from evoworld_tpu.cli.calculate_metrics import _load_metric_weights
+
+        loaded = _load_metric_weights(str(tmp_path))
+        assert "i3d" in loaded, "jit fallback did not load the archive"
+
+        params_jit, report_jit = convert_i3d_state_dict_with_report(loaded["i3d"])
+        assert report_jit == [], report_jit[:8]
+
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        # DataParallel wrapping (fvd.py:17) prefixes every key with module. —
+        # normalization must strip it.
+        sd_dp = {f"module.{k}": v for k, v in sd.items()}
+        params_direct, _ = convert_i3d_state_dict_with_report(sd)
+        params_dp, report_dp = convert_i3d_state_dict_with_report(sd_dp)
+        assert report_dp == [], report_dp[:8]
+
+        flat_jit = jax.tree_util.tree_leaves_with_path(params_jit)
+        flat_direct = dict(jax.tree_util.tree_leaves_with_path(params_direct))
+        flat_dp = dict(jax.tree_util.tree_leaves_with_path(params_dp))
+        assert len(flat_jit) == len(flat_direct) == len(flat_dp)
+        for path_k, leaf in flat_jit:
+            np.testing.assert_array_equal(leaf, flat_direct[path_k])
+            np.testing.assert_array_equal(leaf, flat_dp[path_k])
+
     @pytest.mark.parametrize("hw", [(576, 1024), (224, 224), (300, 200)])
     def test_preprocess_matches_reference(self, hw):
         """Shorter-side scale + center crop + [-1,1] rescale must match the
