@@ -54,6 +54,13 @@ class LoopConfig:
     pers_fov_x: float = 90.0
     conf_percentile: float = 50.0
     pos_scale: float = 0.1
+    # Bound the reconstruction window to the most recent N generated frames
+    # (0 = reference parity: VGGT re-runs on ALL accumulated frames every
+    # segment, unified_loop_consistency.py:336-368 — quadratic-ish cost in
+    # segments since VGGT's global attention is O(frames^2)). A bounded
+    # window keeps per-segment reconstruct cost flat; alignment and yaw
+    # bookkeeping shift with the window automatically.
+    max_recon_frames: int = 0
 
 
 class UnifiedLoop:
@@ -74,7 +81,8 @@ class UnifiedLoop:
         # growing all_frames axis and the two segment_ids each compile once.
         self._extract_jit = jax.jit(self._extract_impl)
         self._render_jit = jax.jit(
-            self._render_impl, static_argnames=("segment_id", "height", "width")
+            self._render_impl,
+            static_argnames=("segment_id", "height", "width", "recon_start"),
         )
 
     def _extract_impl(self, frames: jnp.ndarray, yaws: jnp.ndarray) -> jnp.ndarray:
@@ -91,11 +99,13 @@ class UnifiedLoop:
 
     def _render_impl(
         self, world_points, conf, extrinsic, colors, temp_cam,
-        segment_id: int, height: int, width: int,
+        segment_id: int, height: int, width: int, recon_start: int = 0,
     ) -> jnp.ndarray:
         cfg = self.config
         gt_c2w = pose_to_matrix(temp_cam, relative=True)
-        target_c2w = align_target_poses(gt_c2w, extrinsic, segment_id, cfg.num_target_view)
+        target_c2w = align_target_poses(
+            gt_c2w, extrinsic, segment_id, cfg.num_target_view, recon_start=recon_start
+        )
         points = world_points.reshape(-1, 3)
         valid = confidence_mask(conf, cfg.conf_percentile).reshape(-1)
         return render_memory_panoramas(
@@ -104,13 +114,16 @@ class UnifiedLoop:
 
     # -- reference convert_pano_to_pers (:299-334) ---------------------
     def panos_to_perspectives(
-        self, frames: jnp.ndarray, camera_params: np.ndarray, segment_id: int
+        self, frames: jnp.ndarray, camera_params: np.ndarray, segment_id: int,
+        frame_offset: int = 0,
     ):
         """Extract look-at-center perspective views of generated panoramas.
 
         Args:
             frames: (N, H, W, 3) generated panoramas in [0, 1].
             camera_params: (M, 6) UNSCALED OpenCV-RDF pose rows.
+            frame_offset: global index of frames[0] (nonzero when a bounded
+                reconstruction window drops the oldest frames).
 
         Returns:
             (pers (N, Hp, Wp, 3), target_yaws_deg (N,)) — the yaw assigned to
@@ -121,7 +134,7 @@ class UnifiedLoop:
         n = frames.shape[0]
         yaws = []
         for i in range(n):
-            idx = i  # pose row of frame i (0-based)
+            idx = frame_offset + i  # pose row of frames[i] (0-based)
             if idx < len(camera_params):
                 cur = camera_params[idx]
                 look = camera_params[min(look_at_idx, len(camera_params) - 1)]
@@ -152,8 +165,19 @@ class UnifiedLoop:
         cfg = self.config
         _, end_idx, _ = calculate_segment_indices(segment_id, cfg.num_target_view)
 
+        # Bounded reconstruction window (max_recon_frames=0 -> all frames,
+        # reference parity). The window is anchored at the newest frame; the
+        # frame offset shifts the pose-row bookkeeping and the alignment's
+        # first/last-center fit consistently.
+        n_total = all_frames.shape[0]
+        window = n_total if not cfg.max_recon_frames else min(n_total, cfg.max_recon_frames)
+        offset = n_total - window
+        recon_frames = all_frames[offset:] if offset else all_frames
+
         with phase_timer(f"pers_extract_s{segment_id}", logger=logger):
-            pers, target_yaws = self.panos_to_perspectives(all_frames, camera_params, segment_id)
+            pers, target_yaws = self.panos_to_perspectives(
+                recon_frames, camera_params, segment_id, frame_offset=offset
+            )
             force_sync(pers)
         with phase_timer(f"reconstruct_s{segment_id}", logger=logger):
             preds = self.reconstructor(pers)
@@ -175,6 +199,7 @@ class UnifiedLoop:
                 preds["world_points"], conf, preds["extrinsic"], colors,
                 jnp.asarray(temp_cam, jnp.float32),
                 segment_id=segment_id, height=height, width=width,
+                recon_start=offset,
             )
             force_sync(out)
         return out

@@ -31,6 +31,7 @@ def align_target_poses(
     pred_extrinsic_w2c: jnp.ndarray,
     segment_id: int,
     num_target_view: int = 24,
+    recon_start: int = 0,
 ) -> jnp.ndarray:
     """Map the next segment's GT cameras into the reconstruction frame.
 
@@ -41,6 +42,10 @@ def align_target_poses(
         pred_extrinsic_w2c: (S, 3, 4) VGGT world-to-camera extrinsics.
         segment_id: current segment index.
         num_target_view: target views per segment (24).
+        recon_start: GT pose row of the FIRST reconstructed frame (nonzero
+            when the loop bounds its reconstruction window) — the
+            first/last-center similarity fit must pair GT rows with the
+            frames VGGT actually saw.
 
     Returns:
         (num_target_view, 3, 4) camera-to-world render poses in the
@@ -50,7 +55,7 @@ def align_target_poses(
     pred_c2w = invert_pose(pred_extrinsic_w2c.astype(jnp.float32))
     target_start = (segment_id + 1) * num_target_view + 1
 
-    gt_centers = gt_c2w[:target_start, :, 3]
+    gt_centers = gt_c2w[recon_start:target_start, :, 3]
     pred_centers = pred_c2w[:, :, 3]
     # Reference direction: B = s R A + t with A = GT centers, B = pred centers.
     s, rot, t = similarity_from_point_pairs(gt_centers, pred_centers)

@@ -229,3 +229,69 @@ class TestDeepLoop:
         for seg in out["segments"][1:]:
             assert seg.shape == (f - 1, 64, 128, 3)
             assert np.isfinite(np.asarray(seg)).all()
+
+    def test_bounded_recon_window(self):
+        """max_recon_frames bounds the frames fed to VGGT each segment (the
+        reference re-runs on ALL frames, unified_loop_consistency.py:336-368 —
+        the bound keeps reconstruct cost flat over deep loops). A window as
+        large as the episode must be bit-identical to the unbounded path."""
+        from evoworld_tpu.diffusion.pipeline import PipelineConfig, make_random_pipeline
+        from evoworld_tpu.models.unet import UNetConfig
+        from evoworld_tpu.models.vae import VAEConfig
+        from evoworld_tpu.models.clip import CLIPVisionConfig
+        from evoworld_tpu.loop.navigator import Navigator
+        from evoworld_tpu.loop.unified import UnifiedLoop, LoopConfig
+
+        f = 3
+        cfg = PipelineConfig(height=64, width=128, num_frames=f, num_steps=1,
+                             decode_chunk=3, encode_chunk=2)
+        pipe = make_random_pipeline(
+            cfg,
+            unet_config=UNetConfig(block_out_channels=(32, 32, 32, 32),
+                                   num_attention_heads=(2, 2, 2, 2)),
+            vae_config=VAEConfig(block_out_channels=(32, 32, 32, 32)),
+            clip_config=CLIPVisionConfig(hidden_size=32, num_layers=1,
+                                         num_heads=2, mlp_dim=64),
+            compute_dtype=jnp.float32,
+        )
+        nav = Navigator(pipe, num_frames=f)
+        seen_counts = []
+
+        def stub_reconstructor(pers):
+            seen_counts.append(pers.shape[0])
+            s = pers.shape[0]
+            h, w = 8, 12
+            rays = equirect_ray_grid(h, w)
+            return {
+                "world_points": jnp.broadcast_to(rays[None] * 3.0, (s, h, w, 3)),
+                "conf": jnp.ones((s, h, w)),
+                "extrinsic": jnp.broadcast_to(jnp.eye(4)[:3], (s, 3, 4)),
+                "colors": jnp.ones((s, h, w, 3)) * 0.5,
+            }
+
+        segs, window = 4, 3
+        n_poses = segs * (f - 1) + f + 5
+        poses = np.zeros((n_poses, 6), np.float32)
+        poses[:, 2] = np.arange(n_poses) * 0.4
+
+        def run(max_recon):
+            loop = UnifiedLoop(
+                nav, stub_reconstructor,
+                LoopConfig(num_segments=segs, num_frames=f, num_target_view=f - 1,
+                           pers_height=12, pers_width=18, max_recon_frames=max_recon),
+            )
+            return loop.run_episode(jnp.zeros((64, 128, 3)), poses * 0.1, poses,
+                                    jax.random.key(0))
+
+        out = run(window)
+        # Unbounded counts would be f, f+(f-1), f+2(f-1) = 3, 5, 7.
+        assert seen_counts == [3, 3, 3], seen_counts
+        for seg in out["segments"]:
+            assert np.isfinite(np.asarray(seg)).all()
+
+        seen_counts.clear()
+        full = run(0)
+        seen_counts.clear()
+        big = run(99)  # window larger than the episode == reference parity
+        for a, b in zip(full["segments"], big["segments"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
