@@ -115,6 +115,30 @@ class _Converter:
         node[keys[-1]] = stack(layers)
 
 
+def _convert_camera_head(c: _Converter, ch: str, dst: str) -> None:
+    """Upstream CameraHead (camera_head.py) -> our CameraHead; torch-twin
+    parity-tested in tests/test_vggt_head_parity.py."""
+    src = c.src
+    c.put(f"{ch}.token_norm.weight", f"{dst}/token_norm/scale")
+    c.put(f"{ch}.token_norm.bias", f"{dst}/token_norm/bias")
+    c.put(f"{ch}.empty_pose_tokens", f"{dst}/empty_pose_tokens")
+    c.put(f"{ch}.embed_pose.weight", f"{dst}/embed_pose/kernel", _t_linear)
+    c.put(f"{ch}.embed_pose.bias", f"{dst}/embed_pose/bias")
+    # Upstream Sequential(SiLU, Linear) — only index 1 has parameters.
+    c.put(f"{ch}.poseLN_modulation.1.weight", f"{dst}/poseLN_modulation/kernel", _t_linear)
+    c.put(f"{ch}.poseLN_modulation.1.bias", f"{dst}/poseLN_modulation/bias")
+    n_trunk = 0
+    while f"{ch}.trunk.{n_trunk}.norm1.weight" in src:
+        n_trunk += 1
+    c.stack_blocks(f"{ch}.trunk.{{}}", f"{dst}/trunk/block", range(n_trunk))
+    c.put(f"{ch}.trunk_norm.weight", f"{dst}/trunk_norm/scale")
+    c.put(f"{ch}.trunk_norm.bias", f"{dst}/trunk_norm/bias")
+    c.put(f"{ch}.pose_branch.fc1.weight", f"{dst}/pose_branch_fc1/kernel", _t_linear)
+    c.put(f"{ch}.pose_branch.fc1.bias", f"{dst}/pose_branch_fc1/bias")
+    c.put(f"{ch}.pose_branch.fc2.weight", f"{dst}/pose_branch_fc2/kernel", _t_linear)
+    c.put(f"{ch}.pose_branch.fc2.bias", f"{dst}/pose_branch_fc2/bias")
+
+
 def _convert_dpt_head(c: _Converter, src_head: str, dst_head: str) -> None:
     """Upstream DPTHead (projects/resize_layers/scratch.*) -> our DPTHead."""
     for i in range(4):
@@ -218,25 +242,7 @@ def convert_vggt_state_dict(
         start = tap + 1
 
     # --- camera head --------------------------------------------------------
-    ch = "camera_head"
-    c.put(f"{ch}.token_norm.weight", f"{ch}/token_norm/scale")
-    c.put(f"{ch}.token_norm.bias", f"{ch}/token_norm/bias")
-    c.put(f"{ch}.empty_pose_tokens", f"{ch}/empty_pose_tokens")
-    c.put(f"{ch}.embed_pose.weight", f"{ch}/embed_pose/kernel", _t_linear)
-    c.put(f"{ch}.embed_pose.bias", f"{ch}/embed_pose/bias")
-    # Upstream Sequential(SiLU, Linear) — only index 1 has parameters.
-    c.put(f"{ch}.poseLN_modulation.1.weight", f"{ch}/poseLN_modulation/kernel", _t_linear)
-    c.put(f"{ch}.poseLN_modulation.1.bias", f"{ch}/poseLN_modulation/bias")
-    n_trunk = 0
-    while f"{ch}.trunk.{n_trunk}.norm1.weight" in src:
-        n_trunk += 1
-    c.stack_blocks(f"{ch}.trunk.{{}}", f"{ch}/trunk/block", range(n_trunk))
-    c.put(f"{ch}.trunk_norm.weight", f"{ch}/trunk_norm/scale")
-    c.put(f"{ch}.trunk_norm.bias", f"{ch}/trunk_norm/bias")
-    c.put(f"{ch}.pose_branch.fc1.weight", f"{ch}/pose_branch_fc1/kernel", _t_linear)
-    c.put(f"{ch}.pose_branch.fc1.bias", f"{ch}/pose_branch_fc1/bias")
-    c.put(f"{ch}.pose_branch.fc2.weight", f"{ch}/pose_branch_fc2/kernel", _t_linear)
-    c.put(f"{ch}.pose_branch.fc2.bias", f"{ch}/pose_branch_fc2/bias")
+    _convert_camera_head(c, "camera_head", "camera_head")
 
     # --- dense heads --------------------------------------------------------
     _convert_dpt_head(c, "depth_head", "depth_head")
