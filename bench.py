@@ -70,13 +70,16 @@ def run_once(pipeline, config, key, mask):
     return float(jnp.sum(out[..., 0, 0, 0]))
 
 
-def _device_reachable(timeout_s: float = 600.0) -> bool:
-    """True iff a trivial op completes on the active backend within timeout.
+def _device_reachable(total_s: float = 1500.0, slice_s: float = 300.0) -> bool:
+    """True iff a trivial op completes on the active backend within budget.
 
-    The axon TPU tunnel can wedge indefinitely (worker recovery); a hung
-    first jit would make the driver record nothing. A healthy tunnel
-    completes a trivial dispatch in ~100 s, so a 10-minute ceiling cleanly
-    separates "tunnel down" from "slow compile".
+    The axon TPU tunnel can wedge for long stretches (a crashed worker takes
+    10+ minutes to recover, CLAUDE.md); a hung first jit would make the
+    driver record nothing. Probe in bounded slices and keep retrying until
+    `total_s` so a worker that comes back mid-recovery still gets benched
+    instead of falling to the CPU smoke number. Each probe runs in its own
+    daemon thread because a wedged backend call cannot be cancelled — the
+    first thread to succeed flips the shared event.
     """
     import threading
 
@@ -89,9 +92,16 @@ def _device_reachable(timeout_s: float = 600.0) -> bool:
         except Exception:  # noqa: BLE001 — treated as unreachable
             pass
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    return done.wait(timeout_s)
+    deadline = time.time() + total_s
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        threading.Thread(target=probe, daemon=True).start()
+        if done.wait(min(slice_s, max(1.0, deadline - time.time()))):
+            return True
+        print(f"# device probe attempt {attempt} timed out; retrying "
+              f"({deadline - time.time():.0f}s left)", file=sys.stderr)
+    return done.is_set()
 
 
 def main():

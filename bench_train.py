@@ -1,0 +1,169 @@
+"""Training-step benchmark: sec/step for the full-architecture SVD UNet.
+
+The reference trains 1024x576x25 at bs 1/GPU on 4 GPUs with grad-accum 4,
+fp16, ZeRO-1 (train.sh:5-31, config/deepspeed_o1_4gpu.yaml:2-18). A single
+v5e chip cannot hold the full-res 25-frame activation set even with remat,
+so this bench runs a size ladder from the largest single-chip-feasible shape
+downward and records the first success; the multi-chip production config is
+validated functionally by `__graft_entry__.dryrun_multichip` and projected
+in SCALING.md.
+
+Prints ONE JSON line:
+  {"metric": "train_sec_per_step_<WxHxF>_bs1", "value": N, "unit": "s/step",
+   "vs_baseline": null, "peak_hbm_gb": N}
+(No reference wall-clock sec/step is published in BASELINE.md, so
+vs_baseline is null; the number exists to be judged against the reference's
+4-GPU config and to track our own regressions.)
+
+Usage: python bench_train.py [--small] [--repeats N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from evoworld_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+
+def build_step(height: int, width: int, frames: int, tiny: bool):
+    from evoworld_tpu.models.clip import CLIPVisionConfig, CLIPVisionTower
+    from evoworld_tpu.models.unet import UNetConfig, UNetSpatioTemporal
+    from evoworld_tpu.models.vae import AutoencoderKLTemporal, VAEConfig
+    from evoworld_tpu.models.weights import host_random_params
+    from evoworld_tpu.train.train_step import (
+        TrainConfig,
+        TrainState,
+        make_optimizer,
+        make_sharded_train_step,
+    )
+
+    if tiny:
+        unet_cfg = UNetConfig(block_out_channels=(32, 64, 128, 128),
+                              num_attention_heads=(2, 4, 8, 8), remat=True)
+        vae_cfg = VAEConfig(block_out_channels=(32, 64, 128, 128))
+        clip_cfg = CLIPVisionConfig(hidden_size=64, num_layers=2, num_heads=4,
+                                    mlp_dim=128)
+    else:
+        unet_cfg = UNetConfig(remat=True)  # full 1.5B architecture
+        vae_cfg = VAEConfig()
+        clip_cfg = CLIPVisionConfig()
+    unet = UNetSpatioTemporal(unet_cfg)
+    vae = AutoencoderKLTemporal(vae_cfg)
+    clip_tower = CLIPVisionTower(clip_cfg)
+
+    lh, lw = height // 8, width // 8
+
+    def shapes_of(fn):
+        return jax.eval_shape(fn, jax.random.key(0))
+
+    # Host-side zero/random init: device-side flax init of the 1.5B tree is
+    # a pathological compile over the tunnel (see make_random_pipeline).
+    unet_shapes = shapes_of(lambda k: unet.init(
+        k, jnp.zeros((1, 2, lh, lw, 18), jnp.bfloat16), jnp.asarray(1.0),
+        jnp.zeros((1, 1, clip_cfg.projection_dim), jnp.bfloat16),
+        jnp.zeros((1, 3)),
+    ))
+    # Params fp32 (master weights); compute casts to bf16 inside the step.
+    unet_params = host_random_params(unet_shapes, 0, jnp.float32)
+    frozen = {
+        "vae": jax.tree.map(
+            lambda s: jnp.zeros(s.shape, jnp.bfloat16),
+            shapes_of(lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3), jnp.bfloat16), 1)),
+        ),
+        "clip": jax.tree.map(
+            lambda s: jnp.zeros(s.shape, jnp.bfloat16),
+            shapes_of(lambda k: clip_tower.init(k, jnp.zeros((1, 224, 224, 3), jnp.bfloat16))),
+        ),
+    }
+
+    config = TrainConfig(total_steps=100, warmup_steps=10)
+    optimizer = make_optimizer(config, unet_params)
+    state = TrainState(unet_params, optimizer.init(unet_params),
+                       jnp.zeros((), jnp.int32))
+    step = make_sharded_train_step(
+        unet, vae, clip_tower, frozen, optimizer, config,
+        compute_dtype=jnp.bfloat16,
+    )
+
+    batch = {
+        "pixel_values": jnp.zeros((1, frames, height, width, 3), jnp.float32),
+        "memory_values": jnp.zeros((1, frames, height, width, 3), jnp.float32),
+        "plucker": jnp.zeros((1, frames, lh, lw, 6), jnp.float32),
+    }
+    return step, state, batch
+
+
+def peak_hbm_gb() -> float | None:
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return round(stats["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:  # noqa: BLE001 — not all backends expose memory_stats
+        return None
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--small", action="store_true", help="tiny smoke config")
+    parser.add_argument("--repeats", type=int, default=3)
+    args = parser.parse_args()
+
+    # Ladder: largest single-chip-feasible shapes first (full model, remat).
+    if args.small:
+        ladder = [(64, 128, 3, True)]
+    else:
+        ladder = [
+            (576, 1024, 25, False),   # reference config (likely OOM on 1 chip)
+            (288, 512, 25, False),
+            (288, 512, 13, False),
+            (144, 256, 13, False),
+        ]
+
+    last_error = None
+    for height, width, frames, tiny in ladder:
+        try:
+            step, state, batch = build_step(height, width, frames, tiny)
+            t0 = time.time()
+            state, metrics = step(state, batch, jax.random.key(1))
+            loss = float(metrics["loss"])  # scalar readback = sync
+            print(f"# compile+first-step: {time.time()-t0:.1f}s loss={loss:.4f}",
+                  file=sys.stderr)
+            assert jnp.isfinite(loss)
+            times = []
+            for i in range(args.repeats):
+                t0 = time.time()
+                state, metrics = step(state, batch, jax.random.key(i + 2))
+                float(metrics["loss"])
+                times.append(time.time() - t0)
+            value = min(times)
+            rec = {
+                "metric": f"train_sec_per_step_{width}x{height}x{frames}_bs1"
+                          + ("_small" if args.small else ""),
+                "value": round(value, 3),
+                "unit": "s/step",
+                "vs_baseline": None,
+                "peak_hbm_gb": peak_hbm_gb(),
+            }
+            print(json.dumps(rec))
+            return
+        except Exception as exc:  # noqa: BLE001 — try the next rung
+            last_error = exc
+            print(f"# train bench failed at {width}x{height}x{frames}: "
+                  f"{type(exc).__name__}: {str(exc)[:300]}", file=sys.stderr)
+            time.sleep(30)
+    raise SystemExit(f"all train bench sizes failed: {last_error}")
+
+
+if __name__ == "__main__":
+    main()
