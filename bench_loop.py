@@ -28,6 +28,13 @@ if os.environ.get("BENCH_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
 
+def _arg(name: str, default: int) -> int:
+    for a in sys.argv[1:]:
+        if a.startswith(f"--{name}="):
+            return int(a.split("=", 1)[1])
+    return default
+
+
 def main():
     small = "--small" in sys.argv
     if not small:
@@ -38,10 +45,14 @@ def main():
             # config on CPU in a fresh interpreter, honestly labeled.
             import subprocess
 
-            print("# device unreachable after 600s; falling back to --small on CPU",
-                  file=sys.stderr)
+            print("# device unreachable after bounded probe retries; "
+                  "falling back to --small on CPU", file=sys.stderr)
             env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_PLATFORM="cpu")
-            sys.exit(subprocess.call([sys.executable, __file__, "--small"], env=env))
+            sys.exit(subprocess.call(
+                [sys.executable, __file__, "--small",
+                 *[a for a in sys.argv[1:] if a.startswith("--segments=")
+                   or a.startswith("--window=")]],
+                env=env))
     try:
         _run(small)
     except Exception as exc:  # noqa: BLE001
@@ -66,7 +77,17 @@ def _run(small: bool):
     from evoworld_tpu.loop.unified import UnifiedLoop
     from evoworld_tpu.runtime import build_pipeline, build_reconstructor
 
-    overrides = ["--runtime.save_dir=/tmp/bench_loop"]
+    # --segments=N (default 3, reference parity) and --window=W
+    # (loop.max_recon_frames, default 0 = unbounded) let the round-3 deep-loop
+    # bench measure whether the bounded reconstruction window keeps
+    # reconstruct_s{k} flat past the reference's 3 segments.
+    segments = _arg("segments", 3)
+    window = _arg("window", 0)
+    overrides = [
+        "--runtime.save_dir=/tmp/bench_loop",
+        f"--loop.num_segments={segments}",
+        f"--loop.max_recon_frames={window}",
+    ]
     if small:
         overrides += [
             "--pipeline.height=64", "--pipeline.width=128",
@@ -86,7 +107,8 @@ def _run(small: bool):
 
     f = config.pipeline.num_frames
     h, w = config.pipeline.height, config.pipeline.width
-    n_poses = 3 * (f - 1) + f + 8
+    n_segs = config.loop.num_segments
+    n_poses = n_segs * (f - 1) + f + 8
     poses = np.zeros((n_poses, 6), np.float32)
     poses[:, 2] = np.arange(n_poses) * 0.4
     start = jnp.zeros((h, w, 3), jnp.float32)
@@ -95,21 +117,24 @@ def _run(small: bool):
     out = loop.run_episode(start, poses * 0.1, poses, jax.random.key(0))
     jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32).ravel()[:1])), out["segments"][-1])
     first = time.time() - t0
-    print(f"# 3-segment first run (incl. compile): {first:.1f}s", file=sys.stderr)
+    print(f"# {n_segs}-segment first run (incl. compile): {first:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     out = loop.run_episode(start, poses * 0.1, poses, jax.random.key(1))
     float(jnp.sum(out["segments"][-1].astype(jnp.float32).ravel()[:1]))
     total = time.time() - t0
 
-    per_clip = total / config.loop.num_segments
-    print(json.dumps({
-        "metric": f"sec_per_clip_3seg_loop_{w}x{h}x{f}" + ("_small" if small else ""),
+    per_clip = total / n_segs
+    rec = {
+        "metric": f"sec_per_clip_{n_segs}seg_loop_{w}x{h}x{f}" + ("_small" if small else ""),
         "value": round(per_clip, 3),
         "unit": "s/clip",
         "vs_baseline": round(per_clip / 60.0, 4),
-        "total_3seg_s": round(total, 3),
-    }))
+        f"total_{n_segs}seg_s": round(total, 3),
+    }
+    if config.loop.max_recon_frames:
+        rec["max_recon_frames"] = config.loop.max_recon_frames
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
