@@ -53,6 +53,26 @@ def process_episode(ep_dir: str, reconstructor, config) -> None:
         for n in source_names
     ])
     preds = reconstructor(jnp.asarray(imgs))
+    conf = preds["conf"]
+
+    # Sky masking (reference default for this offline tool:
+    # reproject_vggt_open3d.py:295 mask_sky = not --no_mask_sky). Zeroes
+    # point confidences on sky pixels before the percentile filter.
+    if config.data.mask_sky:
+        from evoworld_tpu.memory.skyseg import SkySegmentation
+
+        sky_path = config.runtime.skyseg_onnx
+        if sky_path and os.path.exists(sky_path):
+            proc = SkySegmentation(sky_path)
+        else:
+            logger.warning(
+                f"skyseg weights not found at {sky_path!r}; the reference "
+                "downloads skyseg.onnx here — using the weights-free "
+                "heuristic mask instead (pass --data.mask_sky=false to "
+                "disable sky masking entirely)"
+            )
+            proc = SkySegmentation(None)
+        conf = proc.apply_to_conf(conf, jnp.asarray(imgs))
 
     cam = load_camera_poses(cam_file, unity_to_opencv=False)
     gt_c2w = pose_to_matrix(jnp.asarray(cam, jnp.float32), relative=True)
@@ -68,7 +88,7 @@ def process_episode(ep_dir: str, reconstructor, config) -> None:
     new_t = s * jnp.einsum("ij,nj->ni", rot, targets[:, :, 3], precision="highest") + t
     target_c2w = jnp.concatenate([new_rot, new_t[:, :, None]], axis=-1)
 
-    valid = confidence_mask(preds["conf"], cfg.conf_percentile).reshape(-1)
+    valid = confidence_mask(conf, cfg.conf_percentile).reshape(-1)
     panos = render_memory_panoramas(
         preds["world_points"].reshape(-1, 3),
         preds["colors"].reshape(-1, 3),

@@ -33,6 +33,10 @@ class DataConfig:
     single_episode: bool = True
     start_idx: int = 0
     end_idx: int = -1
+    # Sky masking for the OFFLINE reprojection tool (reference defaults
+    # mask_sky=True there, reproject_vggt_open3d.py:295; the unified loop
+    # hardcodes False, unified_loop_consistency.py:478 — unaffected).
+    mask_sky: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +51,7 @@ class RuntimeConfig:
     vggt_checkpoint: Optional[str] = None
     vggt_tiny: bool = False  # small random VGGT (CPU demos / smoke runs)
     metric_weights_dir: str = ""  # dir with lpips.pt / inception_v4.pt / i3d.pt
+    skyseg_onnx: str = "skyseg.onnx"  # U^2-Net sky-seg weights (reference name)
     dreamsim_variant: str = "dino_vitb16"  # "dino_vitb16" | "ensemble"
     allow_random_weights: bool = True
     save_dir: str = "outputs"

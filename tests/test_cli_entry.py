@@ -166,3 +166,37 @@ class TestRunSingleSegmentCLI:
         assert len(preds) == 5 and len(gts) == 5
         im = Image.open(ep_out / "predictions" / preds[0])
         assert im.size == (128, 64)
+
+
+class TestReprojectCLI:
+    def test_offline_reprojection_with_sky_mask(self, tmp_path):
+        """Drives cli.reproject end-to-end on a tiny synthetic episode with
+        the reference-default sky masking on (no skyseg.onnx -> heuristic
+        fallback with a warning) and then explicitly off."""
+        ep = tmp_path / "ep"
+        (ep / "panorama").mkdir(parents=True)
+        shutil.copy(REF_CAM, ep / "camera_poses.txt")
+        for i in range(1, 6):
+            _write_png(str(ep / "panorama" / f"{i:03d}.png"), 64, 128, i)
+
+        from evoworld_tpu.cli.pano_to_pers import main as pano_main
+        from evoworld_tpu.cli.reproject import main as reproject_main
+
+        pano_main([f"--data.root={ep}", "--loop.pers_height=28",
+                   "--loop.pers_width=42"])
+
+        common = [
+            f"--data.root={ep}", "--runtime.vggt_tiny=true",
+            "--pipeline.height=64", "--pipeline.width=128",
+            "--loop.num_target_view=4",
+            f"--runtime.skyseg_onnx={tmp_path}/absent.onnx",
+        ]
+        reproject_main(common)  # data.mask_sky defaults True (reference)
+        out = ep / "rendered_panorama_vggt_open3d"
+        files = sorted(os.listdir(out))
+        assert len(files) == 4
+        assert Image.open(out / files[0]).size == (128, 64)
+
+        shutil.rmtree(out)
+        reproject_main(common + ["--data.mask_sky=false"])
+        assert len(os.listdir(out)) == 4
