@@ -295,3 +295,14 @@ class TestDeepLoop:
         big = run(99)  # window larger than the episode == reference parity
         for a, b in zip(full["segments"], big["segments"]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestDepthBits:
+    def test_scales_with_pixel_budget(self):
+        from evoworld_tpu.ops.splat import _depth_bits_for
+
+        assert _depth_bits_for(1000 * 2000) == 10   # full-scale pano target
+        assert _depth_bits_for(512 * 1024) == 11
+        assert _depth_bits_for(40 * 80) == 14       # capped at max
+        assert _depth_bits_for(2**23 - 2) == 8
+        assert _depth_bits_for(2**23) == 0          # two-key sort fallback

@@ -108,3 +108,34 @@ class TestConvSurgery:
         assert out.shape == (3, 3, 18, 16)
         np.testing.assert_array_equal(out[:, :, :8], k)
         np.testing.assert_array_equal(out[:, :, 8:], 0.0)
+
+
+class TestComputeDtypeCast:
+    def test_norm_and_layerscale_leaves_stay_fp32(self):
+        """runtime.cast_compute_leaves keeps fp32-declared leaves (norm
+        affines, LayerScale, pose seed) in fp32 while casting matmul/conv
+        weights to the compute dtype (round-2 advisor finding)."""
+        import jax.numpy as jnp
+
+        from evoworld_tpu.runtime import cast_compute_leaves
+
+        tree = {
+            "params": {
+                "blocks_0": {
+                    "frame": {
+                        "norm1": {"scale": np.ones(4, np.float32)},
+                        "qkv": {"kernel": np.ones((4, 12), np.float32)},
+                        "ls1": np.ones(4, np.float32),
+                    },
+                },
+                "camera_head": {"empty_pose_tokens": np.zeros((1, 1, 9), np.float32)},
+                "patch_embed": {"kernel": np.ones((14, 14, 3, 4), np.float32)},
+            }
+        }
+        out = cast_compute_leaves(tree, jnp.bfloat16)
+        p = out["params"]
+        assert p["blocks_0"]["frame"]["norm1"]["scale"].dtype == np.float32
+        assert p["blocks_0"]["frame"]["ls1"].dtype == np.float32
+        assert p["camera_head"]["empty_pose_tokens"].dtype == np.float32
+        assert p["blocks_0"]["frame"]["qkv"]["kernel"].dtype == jnp.bfloat16
+        assert p["patch_embed"]["kernel"].dtype == jnp.bfloat16
