@@ -55,6 +55,46 @@ class TestCameraHeadParity:
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
 
+class TestRoPEBlockParity:
+    def test_aggregator_block_matches_torch_twin(self):
+        """One alternating-aggregator block (qk_norm + LayerScale + 2D RoPE)
+        vs an upstream-shaped torch twin, converted through the real
+        _Converter.block() map — a drift in rotate-half pairing, the
+        y-then-x half split, frequency base, or qk-norm/rope ordering fails
+        here."""
+        from evoworld_tpu.models.vggt.aggregator import ViTBlock
+        from tests.torch_vggt_heads import Block as TorchBlock, RoPE2D
+
+        dim, heads = 64, 4
+        torch.manual_seed(2)
+        twin = TorchBlock(dim, heads, qk_norm=True, rope=RoPE2D()).eval()
+
+        b, ph, pw, special = 2, 3, 5, 4
+        s = special + ph * pw
+        # Special tokens at position (0,0) = identity rotation; patch tokens
+        # on a +1-shifted grid (upstream PositionGetter + patch_start_idx).
+        yx = np.stack(np.meshgrid(np.arange(ph) + 1, np.arange(pw) + 1,
+                                  indexing="ij"), -1).reshape(-1, 2)
+        positions = np.concatenate([np.zeros((special, 2), np.int64), yx], 0)
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(b, s, dim)).astype(np.float32)
+        with torch.no_grad():
+            want = twin(torch.tensor(x),
+                        torch.tensor(positions)[None].expand(b, -1, -1)).numpy()
+
+        sd = {k: v.numpy() for k, v in twin.state_dict().items()}
+        c = _Converter({f"blk.{k}": v for k, v in sd.items()})
+        leaf = c.block("blk")
+        assert c.report == [], c.report[:8]
+
+        ours = ViTBlock(dim, heads, 4.0, True, 0.01)
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(ours.apply({"params": leaf}, jnp.asarray(x),
+                                        jnp.asarray(positions)))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
 class TestDPTHeadParity:
     def test_matches_torch_twin(self):
         from tests.torch_vggt_heads import DPTHead as TorchDPTHead

@@ -43,8 +43,41 @@ class LayerScale(nn.Module):
         return x * self.gamma
 
 
+class RoPE2D(nn.Module):
+    """croco/VGGT 2D rotary embedding (vggt/layers/rope.py, freq=100):
+    head dim halves rotate by the token's (y, x) position respectively,
+    GPT-NeoX rotate-half pairing with angles repeated twice."""
+
+    def __init__(self, base=100.0):
+        super().__init__()
+        self.base = base
+
+    @staticmethod
+    def rotate_half(x):
+        x1, x2 = x[..., : x.shape[-1] // 2], x[..., x.shape[-1] // 2:]
+        return torch.cat((-x2, x1), dim=-1)
+
+    def apply_rope1d(self, tokens, pos1d):
+        # tokens (B, H, S, D1), pos1d (B, S)
+        d = tokens.shape[-1]
+        inv = 1.0 / (self.base ** (torch.arange(0, d, 2).float() / d))
+        ang = pos1d.float()[..., None] * inv  # (B, S, D1/2)
+        ang = torch.cat((ang, ang), dim=-1)
+        cos = ang.cos()[:, None, :, :]
+        sin = ang.sin()[:, None, :, :]
+        return tokens * cos + self.rotate_half(tokens) * sin
+
+    def forward(self, tokens, positions):
+        # tokens (B, H, S, D); positions (B, S, 2) = (y, x)
+        d = tokens.size(3) // 2
+        y, x = tokens.chunk(2, dim=-1)
+        y = self.apply_rope1d(y, positions[:, :, 0])
+        x = self.apply_rope1d(x, positions[:, :, 1])
+        return torch.cat((y, x), dim=-1)
+
+
 class Attention(nn.Module):
-    def __init__(self, dim, num_heads, qk_norm=False):
+    def __init__(self, dim, num_heads, qk_norm=False, rope=None):
         super().__init__()
         self.num_heads = num_heads
         self.head_dim = dim // num_heads
@@ -52,31 +85,35 @@ class Attention(nn.Module):
         self.proj = nn.Linear(dim, dim)
         self.q_norm = nn.LayerNorm(self.head_dim) if qk_norm else nn.Identity()
         self.k_norm = nn.LayerNorm(self.head_dim) if qk_norm else nn.Identity()
+        self.rope = rope
 
-    def forward(self, x):
+    def forward(self, x, positions=None):
         b, s, d = x.shape
         qkv = self.qkv(x).reshape(b, s, 3, self.num_heads, self.head_dim)
         q, k, v = qkv.unbind(2)
+        # Upstream order: qk-norm first, then rotary (vggt Attention).
         q, k = self.q_norm(q), self.k_norm(k)
-        out = F.scaled_dot_product_attention(
-            q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2)
-        )
+        q, k, v = (t.transpose(1, 2) for t in (q, k, v))
+        if self.rope is not None and positions is not None:
+            q = self.rope(q, positions)
+            k = self.rope(k, positions)
+        out = F.scaled_dot_product_attention(q, k, v)
         return self.proj(out.transpose(1, 2).reshape(b, s, d))
 
 
 class Block(nn.Module):
     def __init__(self, dim, num_heads, mlp_ratio=4.0, qk_norm=False,
-                 init_values=0.01):
+                 init_values=0.01, rope=None):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim)
-        self.attn = Attention(dim, num_heads, qk_norm)
+        self.attn = Attention(dim, num_heads, qk_norm, rope=rope)
         self.ls1 = LayerScale(dim, init_values)
         self.norm2 = nn.LayerNorm(dim)
         self.mlp = Mlp(dim, int(dim * mlp_ratio), dim)
         self.ls2 = LayerScale(dim, init_values)
 
-    def forward(self, x):
-        x = x + self.ls1(self.attn(self.norm1(x)))
+    def forward(self, x, positions=None):
+        x = x + self.ls1(self.attn(self.norm1(x), positions))
         return x + self.ls2(self.mlp(self.norm2(x)))
 
 
