@@ -29,15 +29,21 @@ def parse_config(argv=None) -> EvoWorldConfig:
 
 def save_frames(frames: np.ndarray, out_dir: str, start_index: int = 0, fmt: str = "{:03d}.png"):
     """(N, H, W, 3) [0, 1] floats -> PNG files (reference save_frames naming,
-    forward_evoworld.py:159-180)."""
-    from PIL import Image
-
+    forward_evoworld.py:159-180). Uses the C++ threaded PNG encoder when
+    built (`make -C native`); PIL otherwise."""
     os.makedirs(out_dir, exist_ok=True)
     arr = np.clip(np.asarray(frames), 0.0, 1.0)
-    for i, frame in enumerate(arr):
-        Image.fromarray((frame * 255).astype(np.uint8)).save(
-            os.path.join(out_dir, fmt.format(start_index + i))
-        )
+    u8 = (arr * 255).astype(np.uint8)
+    paths = [os.path.join(out_dir, fmt.format(start_index + i)) for i in range(len(u8))]
+
+    from evoworld_tpu.data.native_io import save_png_batch
+
+    if save_png_batch(paths, u8):
+        return
+    from PIL import Image
+
+    for path, frame in zip(paths, u8):
+        Image.fromarray(frame).save(path)
 
 
 def frames_from_minus1_1(frames: np.ndarray) -> np.ndarray:

@@ -36,6 +36,12 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.ev_load_image_batch.restype = ctypes.c_int
+    if hasattr(lib, "ev_save_png_batch"):  # older builds lack the encoder
+        lib.ev_save_png_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.ev_save_png_batch.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -79,3 +85,26 @@ def load_image_batch(
         a = np.asarray(img, np.float32) / 255.0
         frames.append(a * 2.0 - 1.0 if minus1_1 else a)
     return np.stack(frames)
+
+
+def save_png_batch(paths: Sequence[str], frames: np.ndarray, n_threads: int = 0) -> bool:
+    """Write (N, H, W, 3) uint8 frames to PNG files with the C++ thread pool.
+
+    Returns False when the native library is unavailable or lacks the
+    encoder (callers fall back to PIL); raises on actual write failures.
+    """
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "ev_save_png_batch"):
+        return False
+    frames = np.ascontiguousarray(frames, np.uint8)
+    n, h, w, c = frames.shape
+    assert c == 3 and n == len(paths)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    threads = n_threads or min(os.cpu_count() or 1, 8)
+    failed = lib.ev_save_png_batch(
+        arr, frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h, w, threads,
+    )
+    if failed:
+        raise IOError(f"native encoder failed on {failed}/{n} images")
+    return True

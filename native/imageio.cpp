@@ -158,9 +158,65 @@ void resize_to_float(const Image& src, float* dst, int th, int tw, int minus1_1)
   }
 }
 
+// Encode uint8 HWC RGB to a PNG file. Returns true on success.
+bool encode_png(const char* path, const uint8_t* rgb, int h, int w) {
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return false;
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return false;
+  }
+  png_init_io(png, fp);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  // Match the artifact role (final frames): favor encode speed — PNG is
+  // lossless at any level, and level 1 halves the write time of the
+  // default 6 at these image sizes.
+  png_set_compression_level(png, 1);
+  png_write_info(png, info);
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y)
+    rows[y] = const_cast<png_bytep>(rgb + size_t(y) * w * 3);
+  png_write_image(png, rows.data());
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Save one uint8 HWC RGB image as PNG. Returns 0 on success.
+int ev_save_png(const char* path, const uint8_t* rgb, int h, int w) {
+  return encode_png(path, rgb, h, w) ? 0 : 1;
+}
+
+// Threaded batch save: n images of h*w*3 uint8 at data + i*h*w*3, written
+// to paths[i]. Returns the number of failed writes.
+int ev_save_png_batch(const char** paths, const uint8_t* data, int n, int h,
+                      int w, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), failed(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      if (!encode_png(paths[i], data + size_t(i) * h * w * 3, h, w))
+        failed.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  int nt = n_threads < n ? n_threads : n;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failed.load();
+}
 
 // Load one image into dst (th*tw*3 floats). Returns 0 on success.
 int ev_load_image(const char* path, float* dst, int th, int tw, int minus1_1) {

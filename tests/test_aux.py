@@ -302,3 +302,22 @@ class TestTrackers:
         csv_lines = open(tmp_path / "t_metrics.csv").read().strip().splitlines()
         assert csv_lines[0].split(",")[:2] == ["step", "wall_s"]
         assert len(csv_lines) == 3
+
+
+class TestNativePngEncoder:
+    def test_save_frames_round_trip(self, tmp_path):
+        """cli.common.save_frames writes PNGs (native C++ encoder when built,
+        PIL fallback otherwise) that decode back bit-exact."""
+        import numpy as np
+        from PIL import Image
+
+        from evoworld_tpu.cli.common import save_frames
+
+        rng = np.random.default_rng(0)
+        frames = rng.uniform(0, 1, (3, 16, 24, 3)).astype(np.float32)
+        out = tmp_path / "frames"
+        save_frames(frames, str(out), start_index=1)
+        names = sorted(p.name for p in out.iterdir())
+        assert names == ["001.png", "002.png", "003.png"]
+        back = np.asarray(Image.open(out / "001.png"))
+        np.testing.assert_array_equal(back, (frames[0] * 255).astype(np.uint8))
