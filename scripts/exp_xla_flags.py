@@ -1,0 +1,48 @@
+"""XLA flag sweep over the full UNet forward (single chip).
+
+The non-attention ~1.1 s of the 1.955 s forward is elementwise chains at
+practical HBM bandwidth (scripts/README.md); deeper fusion is the only
+remaining compiler-side lever. Each flag set runs in a subprocess (flags
+must be set before backend init) and reuses exp_temporal_attn's unet_base
+bench, which prints `forward N ms`.
+
+Run on the TPU tunnel: python scripts/exp_xla_flags.py
+"""
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+FLAG_SETS = {
+    "baseline": "",
+    "vmem64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
+    "vmem128m": "--xla_tpu_scoped_vmem_limit_kib=131072",
+    "dotdot": "--xla_tpu_dot_dot_fusion_duplicated=true",
+}
+
+
+def main():
+    child = os.path.join(HERE, "exp_temporal_attn.py")
+    for name, flags in FLAG_SETS.items():
+        env = dict(os.environ)
+        base = env.get("XLA_FLAGS", "")
+        env["XLA_FLAGS"] = (base + " " + flags).strip()
+        print(f"=== {name}: XLA_FLAGS={env['XLA_FLAGS']!r}", flush=True)
+        try:
+            out = subprocess.run(
+                [sys.executable, child, "unet_base"],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            for line in (out.stdout + out.stderr).splitlines():
+                if "forward" in line or "compile" in line or "Error" in line:
+                    print(f"  {line}", flush=True)
+            if out.returncode != 0:
+                print(f"  exit={out.returncode}", flush=True)
+        except subprocess.TimeoutExpired:
+            print("  TIMEOUT", flush=True)
+
+
+if __name__ == "__main__":
+    main()
