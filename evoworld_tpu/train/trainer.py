@@ -42,6 +42,10 @@ class TrainerConfig:
     resume: bool = True
     use_ema: bool = False
     ema_decay: float = 0.9999
+    # Batches buffered ahead by the background prefetch thread — the
+    # reference's DataLoader num_workers analogue (train_evoworld.py:349-359,
+    # arg_parser.py:148). 0 disables prefetching (synchronous iteration).
+    prefetch_depth: int = 2
 
 
 _NO_SHARDING = object()  # sentinel: None would collapse to an empty subtree
@@ -231,6 +235,13 @@ def train(
     h = dataset.height // 8
     w = dataset.width // 8
     batches = episode_batches(dataset, batch_size, (h, w))
+    if trainer_config.prefetch_depth > 0:
+        # Overlap host-side batch assembly (PNG decode, Pluecker embedding)
+        # with the async device step, like the reference's multi-worker
+        # DataLoader does on GPU hosts.
+        from evoworld_tpu.data.prefetch import PrefetchIterator
+
+        batches = PrefetchIterator(batches, depth=trainer_config.prefetch_depth)
     rng = jax.random.key(0)
 
     from evoworld_tpu.utils.trackers import JSONLTracker
@@ -251,47 +262,52 @@ def train(
         # state.params would leave the EMA pointing at deleted buffers.
         ema_params = restored_ema if restored_ema is not None else jax.tree.map(jnp.copy, state.params)
     ema_fn = jax.jit(ema_update, static_argnums=(2,)) if trainer_config.use_ema else None
-    for step in range(start_step, trainer_config.max_steps):
-        if accum == 1:
-            batch = next(batches)
-        else:
-            # Stack micro-batches on a leading axis; grads are averaged
-            # inside the jitted step and the optimizer applied once.
-            micro = [next(batches) for _ in range(accum)]
-            batch = jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
-        rng, sub = jax.random.split(rng)
-        state, metrics = step_fn(state, batch, sub)
-        loss_acc = float(metrics["loss"])
-        if ema_fn is not None:
-            ema_params = ema_fn(ema_params, state.params, trainer_config.ema_decay)
-        running += loss_acc
+    try:
+        for step in range(start_step, trainer_config.max_steps):
+            if accum == 1:
+                batch = next(batches)
+            else:
+                # Stack micro-batches on a leading axis; grads are averaged
+                # inside the jitted step and the optimizer applied once.
+                micro = [next(batches) for _ in range(accum)]
+                batch = jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, sub)
+            loss_acc = float(metrics["loss"])
+            if ema_fn is not None:
+                ema_params = ema_fn(ema_params, state.params, trainer_config.ema_decay)
+            running += loss_acc
 
-        if (step + 1) % trainer_config.log_steps == 0:
-            dt = time.time() - t0
-            mean_loss = running / trainer_config.log_steps
-            logger.info(
-                f"step {step + 1} loss {mean_loss:.4f} "
-                f"({dt / trainer_config.log_steps:.2f}s/step)"
-            )
-            # Reference logs train_loss + lr to its trackers
-            # (train_evoworld.py:732-735).
-            tracker.log(step + 1, {
-                "train_loss": mean_loss,
-                "lr": float(lr_schedule(step + 1)),
-                "grad_norm": float(metrics["grad_norm"]),
-                "sec_per_step": dt / trainer_config.log_steps,
-            })
-            running, t0 = 0.0, time.time()
+            if (step + 1) % trainer_config.log_steps == 0:
+                dt = time.time() - t0
+                mean_loss = running / trainer_config.log_steps
+                logger.info(
+                    f"step {step + 1} loss {mean_loss:.4f} "
+                    f"({dt / trainer_config.log_steps:.2f}s/step)"
+                )
+                # Reference logs train_loss + lr to its trackers
+                # (train_evoworld.py:732-735).
+                tracker.log(step + 1, {
+                    "train_loss": mean_loss,
+                    "lr": float(lr_schedule(step + 1)),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "sec_per_step": dt / trainer_config.log_steps,
+                })
+                running, t0 = 0.0, time.time()
 
-        if (step + 1) % trainer_config.checkpointing_steps == 0:
-            ckpt.save(step + 1, state, ema_params=ema_params)
-            logger.info(f"checkpoint saved at step {step + 1}")
+            if (step + 1) % trainer_config.checkpointing_steps == 0:
+                ckpt.save(step + 1, state, ema_params=ema_params)
+                logger.info(f"checkpoint saved at step {step + 1}")
 
-        if validation_fn is not None and (step + 1) % trainer_config.validation_steps == 0:
-            validation_fn(
-                dataclasses.replace(state, params=ema_params) if ema_params is not None else state,
-                step + 1,
-            )
+            if validation_fn is not None and (step + 1) % trainer_config.validation_steps == 0:
+                validation_fn(
+                    dataclasses.replace(state, params=ema_params) if ema_params is not None else state,
+                    step + 1,
+                )
+    finally:
+        close = getattr(batches, "close", None)
+        if close is not None:
+            close()
 
     if int(state.step) > start_step:
         ckpt.save(int(state.step), state, ema_params=ema_params)

@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 class TestPathSplitting:
@@ -273,6 +274,42 @@ class TestTrainerBatches:
         assert batch["pixel_values"].shape == (2, 5, 64, 128, 3)
         assert batch["plucker"].shape == (2, 5, 8, 16, 6)
         assert batch["memory_values"].shape == (2, 5, 64, 128, 3)
+
+
+class TestPrefetchIterator:
+    def test_order_and_stop(self):
+        from evoworld_tpu.data.prefetch import PrefetchIterator
+
+        got = list(PrefetchIterator(iter(range(17)), depth=3))
+        assert got == list(range(17))
+
+    def test_worker_exception_reraised(self):
+        from evoworld_tpu.data.prefetch import PrefetchIterator
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        it = PrefetchIterator(gen(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="boom"):
+            while True:
+                next(it)
+
+    def test_close_unblocks_producer(self):
+        from evoworld_tpu.data.prefetch import PrefetchIterator
+
+        def infinite():
+            i = 0
+            while True:
+                yield i
+                i += 1
+
+        it = PrefetchIterator(infinite(), depth=1)
+        assert next(it) == 0
+        it.close()
+        assert not it._thread.is_alive()
+        it.close()  # idempotent
 
 
 class TestCLIHelp:
