@@ -50,6 +50,10 @@ class RuntimeConfig:
     svd_checkpoint: Optional[str] = None      # HF-format SVD pipeline dir
     vggt_checkpoint: Optional[str] = None
     vggt_tiny: bool = False  # small random VGGT (CPU demos / smoke runs)
+    # Shard VGGT reconstruction over the inference mesh (frame axis for the
+    # per-frame work, head axis for global attention). On one device this is
+    # a no-op; set false to force single-device VGGT (+ host param offload).
+    vggt_mesh: bool = True
     metric_weights_dir: str = ""  # dir with lpips.pt / inception_v4.pt / i3d.pt
     skyseg_onnx: str = "skyseg.onnx"  # U^2-Net sky-seg weights (reference name)
     dreamsim_variant: str = "dino_vitb16"  # "dino_vitb16" | "ensemble"

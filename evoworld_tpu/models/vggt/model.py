@@ -193,7 +193,8 @@ def _try_host_offload(params):
 
 
 def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16,
-                       offload_params: bool = True, head_chunk: int = 8):
+                       offload_params: bool = True, head_chunk: int = 8,
+                       mesh=None):
     """Wrap a VGGT model as the UnifiedLoop reconstructor callable.
 
     Returns fn(images (S, Hp, Wp, 3) in [0,1]) -> dict with world_points,
@@ -201,6 +202,14 @@ def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16,
     decoding, and depth unprojection in one jitted program (reference flow:
     unified_loop_consistency.py:336-368 with prediction_mode
     "depth_unproject").
+
+    With `mesh`, reconstruction runs sharded: params replicate, the frame
+    axis shards over the mesh for the per-frame work (patch embed, DINO
+    encoder, frame attention, DPT heads — GSPMD propagation), and the
+    global attention — the dominant cost, S = frames x 1041 tokens —
+    shard_maps over the HEAD axis (ops/attention.py::head_sharded_attention),
+    which needs no collectives inside the region. Param host-offload is
+    skipped on meshes (memory pressure per chip already drops ~ndev-fold).
 
     The depth head runs `lax.map`-chunked over frames (`head_chunk` per
     step): its full-resolution transients scale with frame count, and at
@@ -210,9 +219,16 @@ def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16,
     but schedule.
     """
     dev_sh = None
-    if offload_params:
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+        n_mesh_devices = int(np.prod(list(mesh.shape.values())))
+        frame_sh = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
+        replicated_sh = NamedSharding(mesh, PartitionSpec())
+    elif offload_params:
         params, dev_sh = _try_host_offload(params)
-    if dev_sh is None:
+    if mesh is None and dev_sh is None:
         # No offload: pin params on device ONCE (numpy leaves would otherwise
         # re-transfer on every call).
         params = jax.device_put(params)
@@ -259,6 +275,21 @@ def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16,
         }
 
     def call(images):
+        if mesh is not None:
+            # Frame-axis sharding in (when the frame count divides the mesh —
+            # NamedSharding requires divisibility; otherwise inputs replicate
+            # and the speedup comes from the head-sharded global attention,
+            # the dominant term at large frame counts), head-sharded global
+            # attention inside. The context only matters while `reconstruct`
+            # TRACES; it is a per-factory jit instance, so the mesh never
+            # flips for a given cache entry.
+            from evoworld_tpu.ops.attention import head_sharded_attention
+
+            images = jnp.asarray(images)
+            sh = frame_sh if images.shape[0] % n_mesh_devices == 0 else replicated_sh
+            images = jax.device_put(images, sh)
+            with head_sharded_attention(mesh):
+                return reconstruct(params, images)
         # Restage offloaded params into HBM EAGERLY (PJRT DMA on the TPU
         # host); the transient device copy is dropped when the call returns,
         # so only the pinned-host copy survives into the denoise phase.

@@ -16,10 +16,59 @@ The public entry point dispatches on sequence length and platform.
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+
+# When set (via `head_sharded_attention`), long-sequence self-attention is
+# shard_mapped over the mesh on the HEAD axis: each device runs the flash
+# kernel on its head slice with zero collectives inside (heads are
+# independent), and GSPMD reshards activations around the region. This is
+# the multi-chip path for VGGT's global attention (S = frames x 1041
+# tokens, 16 heads), where batch is 1 and the sequence is unshardable
+# without cross-device softmax.
+_HEAD_SHARD_MESH = None
+_HEAD_SHARD_MIN_SEQ = 4096  # module-level so tests can exercise tiny shapes
+
+
+@contextlib.contextmanager
+def head_sharded_attention(mesh):
+    """Route long self-attention through a head-sharded shard_map on `mesh`.
+
+    Must be active while the surrounding program is TRACED (the mesh is a
+    static part of the compiled program). Callers that jit per-instance
+    (e.g. vggt.make_reconstructor) can simply wrap every call.
+    """
+    global _HEAD_SHARD_MESH
+    prev = _HEAD_SHARD_MESH
+    _HEAD_SHARD_MESH = mesh
+    try:
+        yield
+    finally:
+        _HEAD_SHARD_MESH = prev
+
+
+def _head_sharded(q, k, v, scale, mesh):
+    """shard_map wrapper: heads split over all mesh axes, flash per shard."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    spec = P(None, None, axes if len(axes) > 1 else axes[0], None)
+
+    def inner(q_, k_, v_):
+        if jax.default_backend() not in ("cpu",):
+            return _builtin_flash(q_, k_, v_, scale)
+        return _xla_attention(q_, k_, v_, scale).astype(q_.dtype)
+
+    fn = shard_map(inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    return fn(q, k, v)
 
 
 def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
@@ -146,7 +195,6 @@ def _builtin_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float)
     return out[:, :seq_q]
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -167,6 +215,20 @@ def multi_head_attention(
     Returns:
         (B, Sq, H, Dh) attention output in q's dtype.
     """
+    # The ambient head-shard mesh is read OUTSIDE the jitted impl and passed
+    # as a static argument so it participates in the jit cache key (a
+    # closed-over global would silently return the first-traced program).
+    return _multi_head_attention(q, k, v, impl, _HEAD_SHARD_MESH)
+
+
+@functools.partial(jax.jit, static_argnames=("impl", "mesh"))
+def _multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    impl: str,
+    mesh,
+) -> jnp.ndarray:
     scale = 1.0 / (q.shape[-1] ** 0.5)
     if k.shape[1] == 1 and v.shape[-1] == q.shape[-1] and impl == "auto":
         # Softmax over a single key is identically 1, so attention reduces to
@@ -185,6 +247,14 @@ def multi_head_attention(
     # (_blockdiag_small_seq) measured SLOWER than the plain einsum on v5e
     # (26 vs 23 ms at B=18432 S=25 — XLA already handles the padding well);
     # it is kept (tested) but not routed automatically.
+    if (
+        mesh is not None
+        and impl == "auto"
+        and q.shape[1] == k.shape[1]
+        and q.shape[1] >= _HEAD_SHARD_MIN_SEQ
+        and q.shape[2] % math.prod(mesh.devices.shape) == 0
+    ):
+        return _head_sharded(q, k, v, scale, mesh)
     long_seq = q.shape[1] >= 4096
     if impl == "builtin" or (impl == "auto" and long_seq and on_accel):
         return _builtin_flash(q, k, v, scale)

@@ -144,6 +144,10 @@ def build_reconstructor(config: EvoWorldConfig):
 
     rt = config.runtime
     dtype = _dtype(rt.compute_dtype)
+    # Multi-chip: frame-sharded VGGT with head-sharded global attention
+    # (models/vggt/model.py::make_reconstructor). Host param offload is a
+    # single-device memory tactic and is skipped on meshes.
+    mesh = _inference_mesh(rt) if rt.vggt_mesh else None
     if rt.vggt_checkpoint and os.path.exists(rt.vggt_checkpoint):
         from evoworld_tpu.models.vggt.weights import load_vggt_torch_checkpoint
 
@@ -163,7 +167,7 @@ def build_reconstructor(config: EvoWorldConfig):
         # reference keeps fp32 master weights under autocast — casting them
         # to bf16 loses geometry-parity headroom for nothing).
         params = cast_compute_leaves(params, dtype)
-        return make_reconstructor(VGGT(VGGTConfig()), params, dtype)
+        return make_reconstructor(VGGT(VGGTConfig()), params, dtype, mesh=mesh)
     if not rt.allow_random_weights:
         raise FileNotFoundError("no VGGT checkpoint and allow_random_weights=false")
     if rt.vggt_tiny:
@@ -193,4 +197,4 @@ def build_reconstructor(config: EvoWorldConfig):
 
         shapes = jax.eval_shape(lambda k: model.init(k, sample), jax.random.key(0))
         params = host_random_params(shapes, rt.seed, dtype, as_numpy=True)
-    return make_reconstructor(model, params, dtype)
+    return make_reconstructor(model, params, dtype, mesh=mesh)
