@@ -252,9 +252,18 @@ def _multi_head_attention(
         and impl == "auto"
         and q.shape[1] == k.shape[1]
         and q.shape[1] >= _HEAD_SHARD_MIN_SEQ
-        and q.shape[2] % math.prod(mesh.devices.shape) == 0
     ):
-        return _head_sharded(q, k, v, scale, mesh)
+        if q.shape[2] % math.prod(mesh.devices.shape) == 0:
+            return _head_sharded(q, k, v, scale, mesh)
+        # Heads don't divide the mesh (e.g. VGGT's 16 heads on 32 chips):
+        # fall back to sequence parallelism — ring attention rotates KV
+        # shards over the ICI ring with a log-sum-exp merge
+        # (ops/ring_attention.py).
+        from evoworld_tpu.ops.ring_attention import seq_sharded_ring
+
+        ring = seq_sharded_ring(q, k, v, scale, mesh)
+        if ring is not None:
+            return ring
     long_seq = q.shape[1] >= 4096
     if impl == "builtin" or (impl == "auto" and long_seq and on_accel):
         return _builtin_flash(q, k, v, scale)
