@@ -103,7 +103,9 @@ def _run(small: bool):
     pipeline = build_pipeline(config)
     navigator = Navigator(pipeline, num_frames=config.pipeline.num_frames)
     reconstructor = build_reconstructor(config)
-    loop = UnifiedLoop(navigator, reconstructor, config.loop)
+    from evoworld_tpu.runtime import _inference_mesh
+    loop = UnifiedLoop(navigator, reconstructor, config.loop,
+                       mesh=_inference_mesh(config.runtime))
 
     f = config.pipeline.num_frames
     h, w = config.pipeline.height, config.pipeline.width

@@ -23,7 +23,7 @@ from evoworld_tpu.cli.common import frames_from_minus1_1, logger, parse_config, 
 from evoworld_tpu.data.dataset import EpisodeDataset, load_camera_poses
 from evoworld_tpu.loop.navigator import Navigator, calculate_segment_indices
 from evoworld_tpu.loop.unified import UnifiedLoop
-from evoworld_tpu.runtime import build_pipeline, build_reconstructor
+from evoworld_tpu.runtime import _inference_mesh, build_pipeline, build_reconstructor
 
 
 def main(argv=None):
@@ -42,7 +42,8 @@ def main(argv=None):
     pipeline = build_pipeline(config)
     navigator = Navigator(pipeline, num_frames=config.pipeline.num_frames)
     reconstructor = build_reconstructor(config) if config.loop.num_segments > 1 else None
-    loop = UnifiedLoop(navigator, reconstructor, config.loop)
+    loop = UnifiedLoop(navigator, reconstructor, config.loop,
+                       mesh=_inference_mesh(config.runtime))
 
     end = data.end_idx if data.end_idx >= 0 else len(dataset)
     for idx in range(data.start_idx, min(end, len(dataset))):

@@ -71,10 +71,15 @@ class UnifiedLoop:
         navigator: Navigator,
         reconstructor: Optional[Callable] = None,
         config: LoopConfig = LoopConfig(),
+        mesh=None,
     ):
         self.navigator = navigator
         self.reconstructor = reconstructor
         self.config = config
+        # Multi-chip: the 24 memory renders shard over the mesh (the splat's
+        # z-buffer views are independent — memory/render.py). None on one
+        # device.
+        self.mesh = mesh
         # Jitted device paths: eager dispatch is pathological over the dev
         # tunnel (each op is a network round-trip — the eager splat measured
         # ~15 s/segment at TINY scale). jit caches per (shape, static) so the
@@ -109,7 +114,8 @@ class UnifiedLoop:
         points = world_points.reshape(-1, 3)
         valid = confidence_mask(conf, cfg.conf_percentile).reshape(-1)
         return render_memory_panoramas(
-            points, colors.reshape(-1, 3), valid, target_c2w, height, width
+            points, colors.reshape(-1, 3), valid, target_c2w, height, width,
+            mesh=self.mesh,
         )
 
     # -- reference convert_pano_to_pers (:299-334) ---------------------

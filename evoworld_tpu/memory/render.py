@@ -74,6 +74,7 @@ def render_memory_panoramas(
     height: int = 1000,
     width: int = 2000,
     splat_radius: int = 2,
+    mesh=None,
 ) -> jnp.ndarray:
     """Splat the memory cloud onto each target camera.
 
@@ -86,6 +87,10 @@ def render_memory_panoramas(
         colors: (N, 3) colors in [0, 1].
         valid: (N,) boolean filter mask.
         target_c2w: (T, 3, 4) render poses (possibly scaled rotations).
+        mesh: optional jax Mesh — the T independent z-buffer renders shard
+            over the mesh (cloud replicates, each device sorts/splats its
+            view slice; no collectives). Poses pad to the device count by
+            repeating the last view; the duplicates are sliced off.
 
     Returns:
         (T, height, width, 3) rendered memory panoramas in [0, 1]
@@ -101,5 +106,41 @@ def render_memory_panoramas(
             points, colors, c2w, height, width, valid=valid, splat_radius=splat_radius
         )
         return pano
+
+    n_dev = 0
+    if mesh is not None:
+        n_dev = 1
+        for a in mesh.axis_names:
+            n_dev *= mesh.shape[a]
+    if n_dev > 1:
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        t = poses.shape[0]
+        pad = (-t) % n_dev
+        if pad:
+            poses = jnp.concatenate([poses, jnp.repeat(poses[-1:], pad, 0)], 0)
+        axes = tuple(mesh.axis_names)
+        view_spec = P(axes if len(axes) > 1 else axes[0], None, None)
+        out_spec = P(axes if len(axes) > 1 else axes[0], None, None, None)
+
+        def render_shard(pts, cols, ok, ps):
+            def one(c2w):
+                pano, _, _ = splat_points_to_pano(
+                    pts, cols, c2w, height, width, valid=ok,
+                    splat_radius=splat_radius,
+                )
+                return pano
+
+            return jax.lax.map(one, ps)
+
+        fn = shard_map(
+            render_shard, mesh=mesh,
+            in_specs=(P(), P(), P(), view_spec), out_specs=out_spec,
+        )
+        return fn(points, colors, valid, poses)[:t]
 
     return jax.lax.map(render_one, poses)

@@ -139,3 +139,32 @@ class TestZeRO2:
         (loss_a, p_a), (loss_b, p_b) = results
         np.testing.assert_allclose(loss_a, loss_b, rtol=1e-4)
         np.testing.assert_allclose(p_a, p_b, rtol=1e-4)
+
+
+class TestShardedSplat:
+    def test_view_sharded_render_matches(self, mesh8):
+        """render_memory_panoramas(mesh=...) — the T independent z-buffer
+        renders shard over the mesh (cloud replicated) — must reproduce the
+        single-device output, including when T does not divide the device
+        count (pose padding path: T=5 on 8 devices)."""
+        from evoworld_tpu.memory.render import render_memory_panoramas
+
+        rng = np.random.default_rng(0)
+        n = 4096
+        points = jnp.asarray(rng.standard_normal((n, 3)) * 2.0, jnp.float32)
+        colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+        valid = jnp.asarray(rng.uniform(0, 1, (n,)) > 0.1)
+        for t in (8, 5):
+            ang = np.linspace(0, 2 * np.pi, t, endpoint=False)
+            c2w = np.zeros((t, 3, 4), np.float32)
+            c2w[:, 0, 0] = np.cos(ang); c2w[:, 0, 2] = np.sin(ang)
+            c2w[:, 1, 1] = 1.0
+            c2w[:, 2, 0] = -np.sin(ang); c2w[:, 2, 2] = np.cos(ang)
+            c2w[:, :, 3] = rng.standard_normal((t, 3)).astype(np.float32) * 0.1
+            c2w = jnp.asarray(c2w)
+            ref = render_memory_panoramas(points, colors, valid, c2w, 40, 80)
+            got = render_memory_panoramas(points, colors, valid, c2w, 40, 80,
+                                          mesh=mesh8)
+            assert got.shape == (t, 40, 80, 3)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
