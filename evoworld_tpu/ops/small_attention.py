@@ -33,10 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Sequences are padded to SP tokens; G of them share one block-diagonal dot
 # (G * SP = 256 rows -> two MXU passes per dot at lane width 128); BG groups
-# are processed per program (block = BG * G sequences).
+# are processed per program (block = BG * G sequences). BG=16 keeps the
+# q/k/v/o blocks + fp32 logits under the 16 MB scoped-VMEM limit (BG=32
+# measured 228 KB over on v5e).
 SP = 32
 G = 8
-BG = 32
+BG = 16
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq: int):

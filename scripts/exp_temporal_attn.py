@@ -26,19 +26,23 @@ enable_persistent_cache()
 REPS = 16
 
 
-def scan_bench(name, fn, *args):
-    def body(x, _):
-        out = fn(x, *args[1:])
-        return (out if out.shape == x.shape else x), ()
+def scan_bench(name, fn, q, k, v):
+    # k/v ride as jit ARGUMENTS: closing over them would bake ~300 MB
+    # constants into the program and blow the tunnel's upload limit (413).
+    def run(q_, k_, v_):
+        def body(x, _):
+            out = fn(x, k_, v_)
+            return (out if out.shape == x.shape else x), ()
 
-    jitted = jax.jit(lambda x: jax.lax.scan(body, x, None, length=REPS)[0])
-    x = args[0]
-    out = jitted(x)
+        return jax.lax.scan(body, q_, None, length=REPS)[0]
+
+    jitted = jax.jit(run)
+    out = jitted(q, k, v)
     _ = float(jnp.sum(out.astype(jnp.float32).ravel()[:64]))
     ts = []
     for _i in range(3):
         t0 = time.time()
-        out = jitted(x)
+        out = jitted(q, k, v)
         _ = float(jnp.sum(out.astype(jnp.float32).ravel()[:64]))
         ts.append(time.time() - t0)
     print(f"{name}: {min(ts)/REPS*1e3:.2f} ms/iter", flush=True)
@@ -57,11 +61,11 @@ def micro():
         v = jax.random.normal(key, (b, 25, h, 64), jnp.bfloat16)
         scale = 0.125
         scan_bench(f"{label} einsum   (B={b} H={h})",
-                   lambda x: att._xla_attention(x, k, v, scale), q)
+                   lambda x, k_, v_: att._xla_attention(x, k_, v_, scale), q, k, v)
         scan_bench(f"{label} blockdiag(B={b} H={h})",
-                   lambda x: att._blockdiag_small_seq(x, k, v, scale), q)
+                   lambda x, k_, v_: att._blockdiag_small_seq(x, k_, v_, scale), q, k, v)
         scan_bench(f"{label} pallas   (B={b} H={h})",
-                   lambda x: small_seq_attention(x, k, v, scale), q)
+                   lambda x, k_, v_: small_seq_attention(x, k_, v_, scale), q, k, v)
         # parity spot check on-chip
         ref = att._xla_attention(q, k, v, scale)
         got = small_seq_attention(q, k, v, scale)
@@ -70,19 +74,13 @@ def micro():
 
 
 def unet(route_small: bool):
-    from evoworld_tpu.models import layers
     from evoworld_tpu.ops import attention as att
-    from evoworld_tpu.ops.small_attention import small_seq_attention
 
-    if route_small:
-        def routed(q, k, v, impl="auto"):
-            if (impl == "auto" and q.shape[1] <= 32 and q.shape[1] == k.shape[1]
-                    and k.shape[1] > 1):
-                return small_seq_attention(q, k, v, 1.0 / q.shape[-1] ** 0.5)
-            return att.multi_head_attention(q, k, v, impl=impl)
-        layers.multi_head_attention = routed
-    else:
-        layers.multi_head_attention = att.multi_head_attention
+    # The production auto-route (ops/attention.py) now carries the tiny-seq
+    # kernel; A/B by flipping its switch and clearing the inner jit cache so
+    # the route is re-traced.
+    att._SMALL_SEQ_KERNEL = route_small
+    att._multi_head_attention.clear_cache()
 
     from evoworld_tpu.models import unet as unet_mod
 
