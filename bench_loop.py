@@ -121,6 +121,15 @@ def _run(small: bool):
     first = time.time() - t0
     print(f"# {n_segs}-segment first run (incl. compile): {first:.1f}s", file=sys.stderr)
 
+    # Drop episode 1's outputs before episode 2: a 5-segment episode's
+    # decoded frames alone are ~2.6 GB fp32, and holding two episodes'
+    # worth alongside the denoise peak exhausts the 16 GB chip (observed
+    # RESOURCE_EXHAUSTED at segments=5; 3 segments happened to fit).
+    del out
+    import gc
+
+    gc.collect()
+
     t0 = time.time()
     out = loop.run_episode(start, poses * 0.1, poses, jax.random.key(1))
     float(jnp.sum(out["segments"][-1].astype(jnp.float32).ravel()[:1]))
