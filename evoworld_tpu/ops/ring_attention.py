@@ -30,6 +30,17 @@ import jax.numpy as jnp
 _NEG = -1e30  # finite -inf stand-in: keeps exp/logaddexp NaN-free on TPU
 
 
+def _to_varying(x, names):
+    """Mark `x` as varying over the manual mesh axes `names`.
+
+    jax >= 0.9 renamed lax.pvary to lax.pcast(..., to='varying'); fall back
+    for older versions so the module stays importable either way.
+    """
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, names, to="varying")
+    return jax.lax.pvary(x, names)
+
+
 def _block_attn(q, kb, vb, scale, col0, kv_valid, chunk, vary_names=()):
     """Partial attention of q against one KV block -> (o, lse), both fp32.
 
@@ -54,8 +65,8 @@ def _block_attn(q, kb, vb, scale, col0, kv_valid, chunk, vary_names=()):
     acc0 = jnp.zeros((b, h, sq, d), jnp.float32)
     if vary_names:
         # Inside shard_map the scan carry must match the body's
-        # varying-manual-axes type (see ring_attention's pvary note).
-        m0, l0, acc0 = (jax.lax.pvary(x, vary_names) for x in (m0, l0, acc0))
+        # varying-manual-axes type (see ring_attention's varying note).
+        m0, l0, acc0 = (_to_varying(x, vary_names) for x in (m0, l0, acc0))
 
     def fold(carry, xs):
         m, l, acc = carry
@@ -127,11 +138,11 @@ def ring_attention(q, k, v, *, scale, axis_name, n_shards, kv_valid,
     lse0 = jnp.full((b, h, sq), _NEG, jnp.float32)
     # The zero-filled carries are "unvarying" to shard_map's varying-manual-
     # axes checker while the loop body's outputs vary over the ring axis;
-    # mark them varying up front so the fori_loop carry types match.
-    o0 = jax.lax.pvary(o0, names)
-    lse0 = jax.lax.pvary(lse0, names)
+    # mark them varying up front so the scan carry types match.
+    o0 = _to_varying(o0, names)
+    lse0 = _to_varying(lse0, names)
 
-    def body(i, carry):
+    def body(carry, i):
         o, lse, kb, vb = carry
         # Issue the rotation FIRST: the collective-permute is independent of
         # this step's compute, so the scheduler overlaps transfer with math.
@@ -145,9 +156,14 @@ def ring_attention(q, k, v, *, scale, axis_name, n_shards, kv_valid,
         new_lse = jnp.logaddexp(lse, lb)
         o = (o * jnp.exp(lse - new_lse)[..., None]
              + ob * jnp.exp(lb - new_lse)[..., None])
-        return (o, new_lse, k_next, v_next)
+        return (o, new_lse, k_next, v_next), None
 
-    o, _, _, _ = jax.lax.fori_loop(0, n_shards, body, (o0, lse0, k, v))
+    # lax.scan (not fori_loop): the trip count is static and scan has a
+    # reverse-mode rule, so gradients flow through the ring (the ppermute
+    # transpose is the inverse-permutation ppermute) — required when VGGT
+    # fine-tuning differentiates through the sequence-parallel path.
+    steps = _to_varying(jnp.arange(n_shards, dtype=jnp.int32), names)
+    (o, _, _, _), _ = jax.lax.scan(body, (o0, lse0, k, v), steps)
     return jnp.swapaxes(o, 1, 2).astype(q.dtype)
 
 

@@ -83,6 +83,27 @@ class TestRingAttention:
             rtol=2e-2, atol=2e-2,
         )
 
+    def test_gradients_match_exact(self):
+        """Reverse-mode through the ring (lax.scan body + ppermute transpose)
+        matches grads of the exact einsum path — required for VGGT
+        fine-tuning on meshes where attention routes to the ring."""
+        rng = np.random.default_rng(6)
+        q, k, v = _rand_qkv(rng, 1, 8 * 9, 3, 8)
+        mesh = make_mesh(data=8, model=1)
+        scale = 1.0 / (8.0**0.5)
+
+        def loss_ring(q, k, v):
+            return jnp.sum(jnp.sin(seq_sharded_ring(q, k, v, scale, mesh)))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.sin(_xla_attention(q, k, v, scale)))
+
+        got = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-4, atol=2e-5)
+
     def test_routing_falls_back_to_ring(self, monkeypatch):
         """multi_head_attention: mesh set + heads not divisible -> ring path
         (must equal impl='xla'); heads divisible keeps the head-shard path
