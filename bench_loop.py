@@ -28,10 +28,11 @@ if os.environ.get("BENCH_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
 
-def _arg(name: str, default: int) -> int:
+def _arg(name: str, default: int, *aliases: str) -> int:
     for a in sys.argv[1:]:
-        if a.startswith(f"--{name}="):
-            return int(a.split("=", 1)[1])
+        for n in (name, *aliases):
+            if a.startswith(f"--{n}="):
+                return int(a.split("=", 1)[1])
     return default
 
 
@@ -82,7 +83,7 @@ def _run(small: bool):
     # bench measure whether the bounded reconstruction window keeps
     # reconstruct_s{k} flat past the reference's 3 segments.
     segments = _arg("segments", 3)
-    window = _arg("window", 0)
+    window = _arg("window", 0, "loop.max_recon_frames")
     overrides = [
         "--runtime.save_dir=/tmp/bench_loop",
         f"--loop.num_segments={segments}",
@@ -115,24 +116,26 @@ def _run(small: bool):
     poses[:, 2] = np.arange(n_poses) * 0.4
     start = jnp.zeros((h, w, 3), jnp.float32)
 
+    from evoworld_tpu.utils.profiling import phase_report, phase_reset
+
+    # Streaming sink: sync each segment with a 1-scalar readback and DISCARD
+    # it — what production does (the reference writes each segment to PNG as
+    # it goes). Episodes then hold only the bounded reconstruction window on
+    # device instead of every decoded frame; keeping two full 5-segment
+    # episodes' outputs alongside the denoise peak exhausted the 16 GB chip
+    # (RESOURCE_EXHAUSTED in round 3, even with a del+gc between episodes —
+    # allocator fragmentation from the first episode's churn).
+    def sink(_seg_id, frames):
+        float(jnp.sum(frames.astype(jnp.float32).ravel()[:1]))
+
     t0 = time.time()
-    out = loop.run_episode(start, poses * 0.1, poses, jax.random.key(0))
-    jax.tree.map(lambda x: float(jnp.sum(x.astype(jnp.float32).ravel()[:1])), out["segments"][-1])
+    loop.run_episode(start, poses * 0.1, poses, jax.random.key(0), on_segment=sink)
     first = time.time() - t0
     print(f"# {n_segs}-segment first run (incl. compile): {first:.1f}s", file=sys.stderr)
 
-    # Drop episode 1's outputs before episode 2: a 5-segment episode's
-    # decoded frames alone are ~2.6 GB fp32, and holding two episodes'
-    # worth alongside the denoise peak exhausts the 16 GB chip (observed
-    # RESOURCE_EXHAUSTED at segments=5; 3 segments happened to fit).
-    del out
-    import gc
-
-    gc.collect()
-
+    phase_reset()
     t0 = time.time()
-    out = loop.run_episode(start, poses * 0.1, poses, jax.random.key(1))
-    float(jnp.sum(out["segments"][-1].astype(jnp.float32).ravel()[:1]))
+    loop.run_episode(start, poses * 0.1, poses, jax.random.key(1), on_segment=sink)
     total = time.time() - t0
 
     per_clip = total / n_segs
@@ -142,6 +145,10 @@ def _run(small: bool):
         "unit": "s/clip",
         "vs_baseline": round(per_clip / 60.0, 4),
         f"total_{n_segs}seg_s": round(total, 3),
+        # Steady-state per-phase means (s) from the measured episode.
+        "phases_mean_s": {
+            k: round(v["mean_ms"] / 1e3, 3) for k, v in sorted(phase_report().items())
+        },
     }
     if config.loop.max_recon_frames:
         rec["max_recon_frames"] = config.loop.max_recon_frames

@@ -76,6 +76,10 @@ class UnifiedLoop:
         self.navigator = navigator
         self.reconstructor = reconstructor
         self.config = config
+        # Drop frames older than the recon window from the device as the
+        # episode advances (pure memory optimization; tests flip this off to
+        # assert bit-identity with the keep-everything semantics).
+        self._trim_residency = True
         # Multi-chip: the 24 memory renders shard over the mesh (the splat's
         # z-buffer views are independent — memory/render.py). None on one
         # device.
@@ -160,9 +164,16 @@ class UnifiedLoop:
         all_frames: jnp.ndarray,
         camera_params: np.ndarray,
         segment_id: int,
+        frames_dropped: int = 0,
     ) -> jnp.ndarray:
         """Run reconstruction on generated frames and render next-segment
-        memory panoramas. Returns (num_target_view, H, W, 3) in [0, 1]."""
+        memory panoramas. Returns (num_target_view, H, W, 3) in [0, 1].
+
+        `frames_dropped`: global index of all_frames[0] — nonzero when the
+        caller already trimmed frames older than the reconstruction window
+        off the device (run_episode's residency bound); pose-row bookkeeping
+        and the alignment fit are in GLOBAL frame indices.
+        """
         from evoworld_tpu.utils.profiling import force_sync, phase_timer
         from evoworld_tpu.utils.logging import get_logger
 
@@ -177,8 +188,8 @@ class UnifiedLoop:
         # first/last-center fit consistently.
         n_total = all_frames.shape[0]
         window = n_total if not cfg.max_recon_frames else min(n_total, cfg.max_recon_frames)
-        offset = n_total - window
-        recon_frames = all_frames[offset:] if offset else all_frames
+        offset = frames_dropped + (n_total - window)
+        recon_frames = all_frames[n_total - window:] if n_total > window else all_frames
 
         with phase_timer(f"pers_extract_s{segment_id}", logger=logger):
             pers, target_yaws = self.panos_to_perspectives(
@@ -217,6 +228,7 @@ class UnifiedLoop:
         scaled_traj: np.ndarray,
         camera_params: np.ndarray,
         rng: jax.Array,
+        on_segment: Optional[Callable] = None,
     ) -> Dict[str, List[jnp.ndarray]]:
         """Generate `num_segments` clips with evolving 3D memory.
 
@@ -226,13 +238,22 @@ class UnifiedLoop:
                 conditioning path).
             camera_params: (M, 6) UNSCALED pose rows (reconstruction path).
             rng: PRNG key.
+            on_segment: optional `(segment_id, frames) -> None` sink. When
+                given, each segment's frames stream to it as they finish and
+                are NOT accumulated in the return value — deep episodes then
+                hold only the reconstruction window on device instead of
+                every decoded frame (a 5-segment 1024x576 episode's frames
+                alone are ~850 MB fp32; the reference writes each segment to
+                PNG as it goes, unified_loop_consistency.py:430-440).
 
         Returns:
             dict with "segments": list of (F or F-1, H, W, 3) frame arrays in
-            [0, 1] and "memories": list of rendered memory stacks.
+            [0, 1] (empty when on_segment is given) and "memories": list of
+            rendered memory stacks.
         """
         cfg = self.config
         all_frames: Optional[jnp.ndarray] = None
+        frames_dropped = 0  # global index of all_frames[0] (window trimming)
         memories_out = []
         segments_out = []
         memory_frames = jnp.zeros(
@@ -260,12 +281,26 @@ class UnifiedLoop:
                 )
                 force_sync(frames)
             new_frames = frames[1:] if segment_id > 0 else frames
-            segments_out.append(new_frames)
+            if on_segment is not None:
+                on_segment(segment_id, new_frames)
+            else:
+                segments_out.append(new_frames)
             all_frames = new_frames if all_frames is None else jnp.concatenate([all_frames, new_frames], 0)
+            # Bound device residency: frames older than the reconstruction
+            # window are never read again — drop them so deep episodes don't
+            # accumulate the whole history in HBM (observed RESOURCE_EXHAUSTED
+            # at segments=5 on a 16 GB chip). Pure memory optimization:
+            # rebuild_memory would slice the same window out anyway.
+            if (self._trim_residency and cfg.max_recon_frames
+                    and all_frames.shape[0] > cfg.max_recon_frames):
+                drop = all_frames.shape[0] - cfg.max_recon_frames
+                frames_dropped += drop
+                all_frames = all_frames[drop:]
             current = frames[-1] * 2.0 - 1.0  # carry into next segment, [-1, 1]
 
             if segment_id < cfg.num_segments - 1 and self.reconstructor is not None:
-                rendered = self.rebuild_memory(all_frames, camera_params, segment_id)
+                rendered = self.rebuild_memory(all_frames, camera_params, segment_id,
+                                               frames_dropped=frames_dropped)
                 # Reconstruction/splat run single-device while the pipeline's
                 # arrays may be replicated over a mesh; re-place the renders
                 # into the pipeline's domain before they join its inputs.

@@ -63,6 +63,13 @@ def _hbm_suffix() -> str:
         return ""
 
 
+def phase_reset() -> None:
+    """Clear accumulated phase totals (e.g. between a compile episode and a
+    steady-state measurement episode in bench_loop.py)."""
+    _PHASE_TOTALS.clear()
+    _PHASE_COUNTS.clear()
+
+
 def phase_report() -> dict[str, dict]:
     return {
         k: {"total_s": _PHASE_TOTALS[k], "count": _PHASE_COUNTS[k],

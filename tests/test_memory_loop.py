@@ -274,20 +274,41 @@ class TestDeepLoop:
         poses = np.zeros((n_poses, 6), np.float32)
         poses[:, 2] = np.arange(n_poses) * 0.4
 
-        def run(max_recon):
+        def run(max_recon, trim=True, on_segment=None):
             loop = UnifiedLoop(
                 nav, stub_reconstructor,
                 LoopConfig(num_segments=segs, num_frames=f, num_target_view=f - 1,
                            pers_height=12, pers_width=18, max_recon_frames=max_recon),
             )
+            loop._trim_residency = trim
             return loop.run_episode(jnp.zeros((64, 128, 3)), poses * 0.1, poses,
-                                    jax.random.key(0))
+                                    jax.random.key(0), on_segment=on_segment)
 
         out = run(window)
         # Unbounded counts would be f, f+(f-1), f+2(f-1) = 3, 5, 7.
         assert seen_counts == [3, 3, 3], seen_counts
         for seg in out["segments"]:
             assert np.isfinite(np.asarray(seg)).all()
+
+        # Device-residency trimming (drop frames older than the window as the
+        # episode advances) must be bit-identical to keep-everything-and-
+        # slice — same window values, same GLOBAL pose-row offsets.
+        seen_counts.clear()
+        untrimmed = run(window, trim=False)
+        for a, b in zip(out["segments"], untrimmed["segments"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(out["memories"], untrimmed["memories"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # Streaming sink: segments arrive in order with identical values and
+        # are not accumulated in the return value.
+        seen_counts.clear()
+        streamed = []
+        ret = run(window, on_segment=lambda i, fr: streamed.append((i, np.asarray(fr))))
+        assert ret["segments"] == []
+        assert [i for i, _ in streamed] == list(range(segs))
+        for (_, a), b in zip(streamed, out["segments"]):
+            np.testing.assert_array_equal(a, np.asarray(b))
 
         seen_counts.clear()
         full = run(0)
