@@ -43,7 +43,11 @@ def halve(src: str, dst: str, dtype: str = "fp16") -> None:
     print(f"wrote {dst} ({len(out)} tensors as {dtype})")
 
 
-def validate(pipeline_dir: str) -> None:
+def validate_pipeline_dir(pipeline_dir: str) -> list[str]:
+    """Convert every sub-model of an HF-format SVD pipeline dir against our
+    model trees; returns a list of problem strings (empty = clean). The
+    reusable core behind both `convert_checkpoint validate` and the
+    weights-day parity gate (cli/validate_parity.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -69,19 +73,23 @@ def validate(pipeline_dir: str) -> None:
     ]
     import os
 
-    ok = True
+    all_problems: list[str] = []
     for sub, converter, init in checks:
         sd = _load_safetensors_dir(os.path.join(pipeline_dir, sub))
         if sd is None:
             print(f"{sub}: MISSING safetensors")
-            ok = False
+            all_problems.append(f"{sub}: missing safetensors")
             continue
         converted = converter(sd)
         shapes = jax.eval_shape(lambda i=init: i(), )
         problems = verify_tree_matches(converted["params"], shapes["params"])
         print(f"{sub}: {'OK' if not problems else problems[:10]}")
-        ok = ok and not problems
-    sys.exit(0 if ok else 1)
+        all_problems.extend(f"{sub}: {p}" for p in problems)
+    return all_problems
+
+
+def validate(pipeline_dir: str) -> None:
+    sys.exit(0 if not validate_pipeline_dir(pipeline_dir) else 1)
 
 
 def main(argv=None):

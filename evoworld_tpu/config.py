@@ -63,6 +63,27 @@ class RuntimeConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ParityConfig:
+    """Weights-day parity gate (cli/validate_parity.py): thresholds and
+    reference-output sources for the BASELINE.md north-star check
+    (PSNR / LPIPS within `tolerance` of the torch reference's scores)."""
+
+    # Dry-run: random weights, tiny shapes — proves the gate's plumbing runs
+    # end-to-end today; the identical command validates for real the day
+    # checkpoints arrive (drop dry_run, point at the weights).
+    dry_run: bool = False
+    # Reference scores, one of:
+    #   reference_scores: the reference harness's eval_score.json (value_mean
+    #       fields), produced by /root/reference/calculate_metrics.sh; or
+    #   reference_frames: a dir of the reference's generated PNGs for the
+    #       same episode/segment — we score them against GT ourselves.
+    reference_scores: str = ""
+    reference_frames: str = ""
+    tolerance: float = 0.01  # 1% gate, BASELINE.md north-star table
+    metrics: str = "psnr,lpips"
+
+
+@dataclasses.dataclass(frozen=True)
 class EvoWorldConfig:
     pipeline: PipelineConfig = PipelineConfig()
     loop: LoopConfig = LoopConfig()
@@ -70,6 +91,7 @@ class EvoWorldConfig:
     trainer: TrainerConfig = TrainerConfig()
     data: DataConfig = DataConfig()
     runtime: RuntimeConfig = RuntimeConfig()
+    parity: ParityConfig = ParityConfig()
 
 
 def _coerce(value: str, current):

@@ -200,3 +200,55 @@ class TestReprojectCLI:
         shutil.rmtree(out)
         reproject_main(common + ["--data.mask_sky=false"])
         assert len(os.listdir(out)) == 4
+
+
+class TestValidateParityCLI:
+    def test_dry_run_gate_passes_end_to_end(self, tmp_path, capsys):
+        """The weights-day parity gate in CI-tested dry-run mode: random tiny
+        weights, example episode, PSNR+LPIPS scored vs GT, gated against the
+        self-comparison reference — the identical command path runs
+        unmodified the day real checkpoints arrive (WEIGHTS.md)."""
+        from evoworld_tpu.cli.validate_parity import main
+
+        main([
+            "--parity.dry_run=true",
+            f"--data.root={REF_EPISODE}",
+            f"--runtime.save_dir={tmp_path}",
+            "--runtime.model_preset=tiny", "--runtime.compute_dtype=float32",
+            "--pipeline.height=64", "--pipeline.width=128",
+            "--pipeline.num_frames=5", "--pipeline.num_steps=2",
+            "--pipeline.decode_chunk=5", "--pipeline.encode_chunk=2",
+            "--data.sequence_length=5",
+        ])
+        out = capsys.readouterr().out
+        assert "PARITY GATE: PASS" in out and "DRY RUN" in out
+        preds = tmp_path / "validate_parity" / "predictions"
+        assert len(os.listdir(preds)) == 5
+
+    def test_reference_frames_gate_fails_on_mismatch(self, tmp_path, capsys):
+        """With --parity.reference_frames pointing at frames that are NOT
+        within 1%, the gate must exit nonzero — the pass/fail logic is real,
+        not a formality."""
+        from evoworld_tpu.cli.validate_parity import main
+
+        # "Reference" frames: solid mid-gray — far from any generated clip.
+        ref_dir = tmp_path / "ref_frames"
+        ref_dir.mkdir()
+        for i in range(5):
+            Image.fromarray(np.full((64, 128, 3), 127, np.uint8)).save(
+                ref_dir / f"{i:03d}.png")
+
+        with pytest.raises(SystemExit) as exc:
+            main([
+                "--parity.dry_run=true",
+                f"--parity.reference_frames={ref_dir}",
+                f"--data.root={REF_EPISODE}",
+                f"--runtime.save_dir={tmp_path}/out",
+                "--runtime.model_preset=tiny", "--runtime.compute_dtype=float32",
+                "--pipeline.height=64", "--pipeline.width=128",
+                "--pipeline.num_frames=5", "--pipeline.num_steps=2",
+                "--pipeline.decode_chunk=5", "--pipeline.encode_chunk=2",
+                "--data.sequence_length=5",
+            ])
+        assert exc.value.code == 1
+        assert "PARITY GATE: FAIL" in capsys.readouterr().out
