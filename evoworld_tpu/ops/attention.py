@@ -34,14 +34,14 @@ import jax.numpy as jnp
 _HEAD_SHARD_MESH = None
 _HEAD_SHARD_MIN_SEQ = 4096  # module-level so tests can exercise tiny shapes
 
-# Routing switch for the fused tiny-sequence kernel (ops/small_attention.py).
-# OFF by default: the kernel wins the isolated microbench but the full-UNet
-# in-graph A/B on v5e measured 1970 ms vs 1944 ms for the einsum path
-# (scripts/exp_temporal_attn.py, BG=16) — XLA overlaps the einsum's padding
-# traffic with neighboring ops, and the pallas_call's packing relayouts eat
-# the VMEM win. Kept (tested) for future chips / shapes; A/B scripts flip
-# this (clearing _multi_head_attention's jit cache), env var for triage.
-_SMALL_SEQ_KERNEL = os.environ.get("EVOWORLD_SMALL_SEQ_ATTN", "0") != "0"
+# Tiny-sequence (S=25 temporal) attention stays on the einsum path: a fused
+# block-diagonal Pallas kernel won the isolated microbench but LOST the
+# in-graph full-UNet A/B on v5e twice (1970 vs 1944 ms at BG=16; BG=32 blows
+# the 16 MB scoped-VMEM limit) — XLA overlaps the einsum's padding traffic
+# with neighboring ops and the pallas packing relayouts eat the VMEM win.
+# The kernel was removed in round 4 (git history + scripts/README.md keep
+# the design and numbers; _blockdiag_small_seq below is the XLA-level
+# variant, also slower in-graph, retained as documentation-by-code).
 
 
 @contextlib.contextmanager
@@ -248,23 +248,6 @@ def _multi_head_attention(
         # (pipeline_evoworld.py passes (B, 1, 1024) image embeddings).
         return jnp.broadcast_to(v, q.shape).astype(q.dtype)
     on_accel = jax.default_backend() not in ("cpu",)
-    if (
-        impl == "auto"
-        and on_accel
-        and _SMALL_SEQ_KERNEL
-        and 1 < q.shape[1] <= 32
-        and k.shape[1] == q.shape[1]
-        and q.shape[-1] <= 128
-    ):
-        # Tiny-sequence self-attention (the 25-frame temporal attention): the
-        # block-diagonal Pallas kernel (ops/small_attention.py) keeps
-        # logits/probs in VMEM and wins the isolated microbench, but loses
-        # the in-graph full-UNet A/B (1970 vs 1944 ms — see module constant
-        # above), so it is opt-in. The XLA-level block-diagonal variant
-        # (_blockdiag_small_seq) is likewise slower in-graph (26 vs 23 ms).
-        from evoworld_tpu.ops.small_attention import small_seq_attention
-
-        return small_seq_attention(q, k, v, scale)
     # Flash only pays off for the longest spatial sequences: at S=2304 the
     # einsum path is faster in-graph (full-UNet A/B: 1.955 vs 2.013 s — XLA
     # fuses the fp32 logits chain well and the ~1 GB transient fits once

@@ -162,50 +162,6 @@ class TestFlashAttention:
             np.testing.assert_allclose(got, want, atol=2e-5)
 
 
-    def test_small_seq_pallas_kernel_matches_xla(self):
-        """The fused block-diagonal Pallas kernel (interpret mode on CPU) is
-        exact vs the einsum reference, incl. ragged batch and short seqs."""
-        from evoworld_tpu.ops.attention import _xla_attention
-        from evoworld_tpu.ops.small_attention import _forward
-
-        rng = np.random.default_rng(3)
-        for b, s, h, d in [(37, 25, 5, 64), (4, 7, 3, 32), (256, 32, 2, 64)]:
-            q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
-            k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
-            v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
-            want = np.asarray(_xla_attention(q, k, v, scale=1 / np.sqrt(d)))
-            got = np.asarray(_forward(q, k, v, 1 / np.sqrt(d), interpret=True))
-            np.testing.assert_allclose(got, want, atol=2e-5)
-
-    def test_small_seq_custom_vjp_matches_einsum_grad(self):
-        """small_seq_attention's backward (einsum vjp) == autodiff of the
-        einsum reference; forward checked via the interpret-mode kernel."""
-        from evoworld_tpu.ops import small_attention as sa
-
-        rng = np.random.default_rng(4)
-        q = jnp.asarray(rng.normal(size=(3, 9, 2, 16)).astype(np.float32))
-        k = jnp.asarray(rng.normal(size=(3, 9, 2, 16)).astype(np.float32))
-        v = jnp.asarray(rng.normal(size=(3, 9, 2, 16)).astype(np.float32))
-
-        def loss_ref(q_, k_, v_):
-            return jnp.sum(jnp.sin(sa._einsum_reference(q_, k_, v_, 0.25)))
-
-        want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-        # Route the custom_vjp's forward through the interpreter so the
-        # full primal+cotangent path runs on CPU.
-        orig = sa._forward
-        sa._forward = lambda *a, **kw: orig(*a, interpret=True)
-        try:
-            def loss_kernel(q_, k_, v_):
-                return jnp.sum(jnp.sin(sa.small_seq_attention(q_, k_, v_, 0.25)))
-
-            got = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
-        finally:
-            sa._forward = orig
-        for g, w in zip(got, want):
-            np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5)
-
-
 class TestTrainStep:
     def test_one_step_decreases_nothing_blows_up(self):
         from evoworld_tpu.models.clip import CLIPVisionTower
