@@ -152,6 +152,63 @@ def main():
     raise SystemExit(f"all bench sizes failed: {last_error}")
 
 
+# Peak numbers for MFU/roofline: TPU v5e (device_kind "TPU v5 lite") —
+# 197 bf16 TFLOP/s MXU peak, 819 GB/s HBM bandwidth (public spec).
+_PEAKS = {"TPU v5 lite": (197e12, 819e9), "TPU v5e": (197e12, 819e9)}
+
+
+def _unit_cost(fn, *args):
+    """(flops, hbm bytes) of one jitted call via XLA's cost analysis."""
+    ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def _pipeline_cost(pipeline, config):
+    """Analytic per-clip (flops, bytes): XLA cost analysis of each UNIT
+    (UNet forward, VAE encode/decode chunk, CLIP) times its trip count —
+    lax.scan/map bodies are counted ONCE by cost_analysis, so lowering the
+    whole stage would undercount the denoise loop 25x."""
+    from evoworld_tpu.models.vae import AutoencoderKLTemporal
+
+    cfg = config
+    f, h, w = cfg.num_frames, cfg.height, cfg.width
+    lh, lw = cfg.latent_height, cfg.latent_width
+    dtype = pipeline.compute_dtype
+    p = pipeline.params
+
+    unet_f, unet_b = _unit_cost(
+        lambda pr, x, t, c, ti: pipeline.unet.apply(pr, x, t, c, ti),
+        p["unet"], jnp.zeros((2, f, lh, lw, 18), dtype), jnp.asarray(1.0),
+        jnp.zeros((2, 1, 1024), dtype), jnp.zeros((2, 3)),
+    )
+    ec = cfg.encode_chunk
+    enc_f, enc_b = _unit_cost(
+        lambda pr, x: pipeline.vae.apply(pr, x, method=AutoencoderKLTemporal.encode_mode),
+        p["vae"], jnp.zeros((ec, h, w, 3), dtype),
+    )
+    clip_f, clip_b = _unit_cost(
+        lambda pr, x: pipeline.clip_tower.apply(pr, x),
+        p["clip"], jnp.zeros((1, 224, 224, 3), dtype),
+    )
+    dc = cfg.decode_chunk
+    dec_f, dec_b = _unit_cost(
+        lambda pr, x: pipeline.vae.apply(pr, x, dc, method=AutoencoderKLTemporal.decode),
+        p["vae"], jnp.zeros((dc, lh, lw, 4), dtype),
+    )
+    n_steps, n_enc, n_dec = cfg.num_steps, (f + 1) // ec, f // dc
+    flops = n_steps * unet_f + n_enc * enc_f + clip_f + n_dec * dec_f
+    bytes_ = n_steps * unet_b + n_enc * enc_b + clip_b + n_dec * dec_b
+    detail = {
+        "unet_fwd_tflops": round(unet_f / 1e12, 2),
+        "unet_fwd_gb": round(unet_b / 1e9, 2),
+        "denoise_tflops": round(n_steps * unet_f / 1e12, 1),
+        "encode_tflops": round((n_enc * enc_f + clip_f) / 1e12, 1),
+        "decode_tflops": round(n_dec * dec_f / 1e12, 1),
+    }
+    return flops, bytes_, detail
+
+
 def _bench(pipeline, config, args):
     h, w, f = config.height, config.width, config.num_frames
 
@@ -180,12 +237,32 @@ def _bench(pipeline, config, args):
     value = min(times)
 
     metric = f"sec_per_clip_{w}x{h}x{f}" + ("_small" if args.small else "")
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(value, 3),
         "unit": "s/clip",
         "vs_baseline": round(value / 60.0, 4),
-    }))
+    }
+    # MFU / roofline (VERDICT r3 #3): achieved TFLOP/s + fraction of peak and
+    # HBM bandwidth, from XLA cost analysis of the units x trip counts.
+    peaks = _PEAKS.get(jax.devices()[0].device_kind)
+    if peaks and not args.small:
+        try:
+            flops, bytes_, detail = _pipeline_cost(pipeline, config)
+            peak_f, peak_b = peaks
+            rec.update({
+                "tflops_per_clip": round(flops / 1e12, 1),
+                "achieved_tflops": round(flops / value / 1e12, 2),
+                "mfu": round(flops / value / peak_f, 4),
+                "hbm_gb_per_clip": round(bytes_ / 1e9, 1),
+                "achieved_hbm_gbps": round(bytes_ / value / 1e9, 1),
+                "hbm_utilization": round(bytes_ / value / peak_b, 4),
+                "cost_detail": detail,
+            })
+        except Exception as exc:  # noqa: BLE001 — analysis must not kill the bench
+            print(f"# cost analysis unavailable: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -7,6 +7,7 @@ must be set before backend init) and reuses exp_temporal_attn's unet_base
 bench, which prints `forward N ms`.
 
 Run on the TPU tunnel: python scripts/exp_xla_flags.py
+(child bench: scripts/exp_unet_fwd.py)
 """
 
 import os
@@ -24,7 +25,7 @@ FLAG_SETS = {
 
 
 def main():
-    child = os.path.join(HERE, "exp_temporal_attn.py")
+    child = os.path.join(HERE, "exp_unet_fwd.py")
     for name, flags in FLAG_SETS.items():
         env = dict(os.environ)
         base = env.get("XLA_FLAGS", "")
