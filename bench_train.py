@@ -120,14 +120,17 @@ def main():
     args = parser.parse_args()
 
     # Ladder: largest single-chip-feasible shapes first (full model, remat).
+    # H/W must be multiples of 64 (latents /8 must survive the UNet's three
+    # stride-2 downsamples without odd-dim skip mismatches — 288 -> latent 36
+    # -> 9 -> ceil 5 vs skip 9 breaks the up-path concat).
     if args.small:
         ladder = [(64, 128, 3, True)]
     else:
         ladder = [
             (576, 1024, 25, False),   # reference config (likely OOM on 1 chip)
-            (288, 512, 25, False),
-            (288, 512, 13, False),
-            (144, 256, 13, False),
+            (256, 512, 25, False),
+            (256, 512, 13, False),
+            (128, 256, 13, False),
         ]
 
     last_error = None
