@@ -263,31 +263,49 @@ def make_sharded_train_step(
     (train_evoworld.py:525, --gradient_accumulation_steps 4 in train.sh:20).
     """
 
-    def value_and_grads(params, batch, rng):
+    def value_and_grads(params, mask, batch, rng):
+        # Differentiate only the trainable subset — torch's requires_grad=False
+        # semantics (the reference freezes ~74% of the 1.5B tree,
+        # train_evoworld.py partial unfreeze): stop_gradient cuts the frozen
+        # leaves' VJPs out of the backward graph, and collapsing their (then
+        # symbolically-zero) cotangents to () scalars keeps the accum carry,
+        # grad-norm metric, and optimizer from ever materializing ~4.3 GB of
+        # dead fp32 gradients. Without this, the full-architecture train step
+        # cannot fit a 16 GB chip at ANY resolution (params 5.7 + full grads
+        # 5.7 + moments 3.0 + bf16 copy 2.8 = 17.2 GB before activations).
         def loss_fn(p):
+            p = jax.tree.map(
+                lambda x, m: x if m else jax.lax.stop_gradient(x), p, mask
+            )
             return edm_loss(
                 unet, vae, clip_tower, p, frozen_params, batch, rng, config, compute_dtype
             )
 
-        return jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree.map(
+            lambda g, m: g if m else jnp.zeros((), g.dtype), grads, mask
+        )
+        return loss, grads
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        mask = trainable_mask(state.params)
         if accum_steps == 1:
-            loss, grads = value_and_grads(state.params, batch, rng)
+            loss, grads = value_and_grads(state.params, mask, batch, rng)
         else:
             keys = jax.random.split(rng, accum_steps)
 
             def body(carry, xs):
                 loss_sum, grad_sum = carry
                 micro_batch, key = xs
-                loss, grads = value_and_grads(state.params, micro_batch, key)
+                loss, grads = value_and_grads(state.params, mask, micro_batch, key)
                 grad_sum = jax.tree.map(
                     lambda a, g: a + g.astype(jnp.float32), grad_sum, grads
                 )
                 return (loss_sum + loss, grad_sum), None
 
             zeros = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+                lambda p, m: jnp.zeros(p.shape if m else (), jnp.float32),
+                state.params, mask,
             )
             (loss_sum, grad_sum), _ = jax.lax.scan(body, (0.0, zeros), (batch, keys))
             loss = loss_sum / accum_steps
@@ -304,6 +322,9 @@ def make_sharded_train_step(
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)
+        # Norm of the TRAINABLE gradients (frozen cotangents are () zeros) —
+        # the quantity the reference monitors (its clip sees only the
+        # optimizer's param list).
         gnorm = optax.global_norm(grads)
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
