@@ -45,6 +45,7 @@ def build_step(height: int, width: int, frames: int, tiny: bool):
     from evoworld_tpu.train.train_step import (
         TrainConfig,
         TrainState,
+        freeze_master_cast,
         make_optimizer,
         make_sharded_train_step,
     )
@@ -75,8 +76,16 @@ def build_step(height: int, width: int, frames: int, tiny: bool):
         jnp.zeros((1, 1, clip_cfg.projection_dim), jnp.bfloat16),
         jnp.zeros((1, 3)),
     ))
-    # Params fp32 (master weights); compute casts to bf16 inside the step.
-    unet_params = host_random_params(unet_shapes, 0, jnp.float32)
+    # fp32 masters for the trainable subset only; frozen leaves stored bf16
+    # (reference DeepSpeed-fp16 policy — without it, fp32 params + moments +
+    # transient bf16 copies alone exceed the 16 GB chip at ANY resolution).
+    # as_numpy + host-side cast: never materializes the full fp32 tree on
+    # device (the transfer happens at the first step call, per-leaf, in the
+    # final mixed dtypes).
+    unet_params = freeze_master_cast(
+        host_random_params(unet_shapes, 0, jnp.float32, as_numpy=True),
+        jnp.bfloat16,
+    )
     frozen = {
         "vae": jax.tree.map(
             lambda s: jnp.zeros(s.shape, jnp.bfloat16),

@@ -57,6 +57,10 @@ class TrainConfig:
     warmup_steps: int = 500
     lr_schedule: str = "cosine"  # "cosine" | "constant"
     zero_stage: int = 1  # 1: opt-state sharding; >=2: + gradient reduce-scatter
+    # Frames per VAE-encoder apply inside the loss (0 = all at once). Encoding
+    # 26 frames of 1024x576 in one conv stack peaks ~4 GiB/layer of transient
+    # activations; per-frame encodes are independent, so chunking is exact.
+    vae_encode_chunk: int = 8
 
 
 def trainable_mask(params) -> Any:
@@ -82,6 +86,26 @@ def trainable_mask(params) -> Any:
         return masks[path_str(path)]
 
     return jax.tree_util.tree_map_with_path(to_mask, params)
+
+
+def freeze_master_cast(params, compute_dtype=jnp.bfloat16, mask=None):
+    """Master-weight policy of the reference's mixed-precision training:
+    fp32 master copies exist ONLY for trainable leaves; frozen leaves are
+    stored directly in the compute dtype.
+
+    DeepSpeed/accelerate fp16 training (train.sh --mixed_precision fp16,
+    config/deepspeed_o1_4gpu.yaml) keeps fp32 masters only for parameters in
+    the optimizer's param list — the ~74% frozen remainder of the 1.5B UNet
+    lives in half precision. Mirroring that here removes ~4.3 GiB from the
+    single-chip training-state floor (frozen fp32 2.25 GiB + their transient
+    bf16 compute copies ~2.1 GiB): the modules compute in the input dtype, so
+    bf16-stored frozen leaves flow through with no cast copy at all.
+    """
+    if mask is None:
+        mask = trainable_mask(params)
+    return jax.tree.map(
+        lambda p, m: p if m else p.astype(compute_dtype), params, mask
+    )
 
 
 def make_lr_schedule(config: TrainConfig) -> optax.Schedule:
@@ -156,8 +180,18 @@ def edm_loss(
 
     def vae_encode_sample(images, key):
         flat = images.reshape((-1,) + images.shape[2:])
-        moments = vae.apply(
-            frozen_params["vae"], flat.astype(compute_dtype), method=AutoencoderKLTemporal.encode_moments
+        n = flat.shape[0]
+        chunk = config.vae_encode_chunk or n
+        moments = jnp.concatenate(
+            [
+                vae.apply(
+                    frozen_params["vae"],
+                    flat[i : i + chunk].astype(compute_dtype),
+                    method=AutoencoderKLTemporal.encode_moments,
+                )
+                for i in range(0, n, chunk)
+            ],
+            axis=0,
         ).astype(jnp.float32)
         mean, logvar = jnp.split(moments, 2, axis=-1)
         std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))

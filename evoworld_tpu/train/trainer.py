@@ -23,7 +23,13 @@ from evoworld_tpu.data.dataset import EpisodeDataset
 from evoworld_tpu.geometry.plucker import plucker_embedding
 from evoworld_tpu.geometry.pose import pose_to_matrix
 from evoworld_tpu.geometry.rays import equirect_ray_grid
-from evoworld_tpu.train.train_step import TrainConfig, TrainState, make_optimizer, make_sharded_train_step
+from evoworld_tpu.train.train_step import (
+    TrainConfig,
+    TrainState,
+    freeze_master_cast,
+    make_optimizer,
+    make_sharded_train_step,
+)
 from evoworld_tpu.utils.logging import get_logger
 
 logger = get_logger()
@@ -184,6 +190,11 @@ def train(
     validation_fn=None,
 ):
     """Run the training loop; returns the final TrainState."""
+    # Reference mixed-precision master-weight policy: fp32 masters only for
+    # the trainable subset; frozen leaves live in the compute dtype (see
+    # freeze_master_cast). Checkpoints written by this trainer carry the
+    # mixed-dtype tree; resuming restores it as saved.
+    unet_params = freeze_master_cast(unet_params, compute_dtype)
     optimizer = make_optimizer(config, unet_params)
     opt_state = optimizer.init(unet_params)
     if mesh is not None:

@@ -192,6 +192,94 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["loss"]))
         assert int(state.step) == 1
 
+    def test_freeze_master_cast_policy(self):
+        """fp32 masters only for trainable leaves (reference DeepSpeed-fp16
+        policy): a step on the mixed-dtype tree runs, updates only trainable
+        leaves, and preserves every frozen leaf bit-for-bit in bf16."""
+        from evoworld_tpu.models.clip import CLIPVisionTower
+        from evoworld_tpu.train.train_step import (
+            TrainConfig, TrainState, freeze_master_cast, make_optimizer,
+            make_sharded_train_step, trainable_mask,
+        )
+
+        unet = UNetSpatioTemporal(TINY_UNET)
+        vae = AutoencoderKLTemporal(TINY_VAE)
+        clip_tower = CLIPVisionTower(TINY_CLIP)
+        key = jax.random.key(0)
+        f, h, w = 2, 64, 128
+        unet_params = freeze_master_cast(
+            unet.init(key, jnp.zeros((1, f, 8, 16, 18)), jnp.asarray(1.0),
+                      jnp.zeros((1, 1, 1024)), jnp.zeros((1, 3))),
+            jnp.bfloat16,
+        )
+        mask = trainable_mask(unet_params)
+        for p, m in zip(jax.tree.leaves(unet_params), jax.tree.leaves(mask)):
+            assert p.dtype == (jnp.float32 if m else jnp.bfloat16)
+        before = jax.tree.map(np.asarray, unet_params)
+
+        frozen = {
+            "vae": vae.init(key, jnp.zeros((1, h, w, 3)), 1),
+            "clip": clip_tower.init(key, jnp.zeros((1, 224, 224, 3))),
+        }
+        # constant lr: the warmup schedule is 0.0 at step 0, which would make
+        # "trainable leaves moved" vacuously false after one step.
+        config = TrainConfig(total_steps=10, warmup_steps=1, lr_schedule="constant")
+        opt = make_optimizer(config, unet_params)
+        state = TrainState(unet_params, opt.init(unet_params), jnp.zeros((), jnp.int32))
+        step = make_sharded_train_step(unet, vae, clip_tower, frozen, opt, config)
+        rng = np.random.default_rng(5)
+        batch = {
+            "pixel_values": jnp.asarray(rng.uniform(-1, 1, (1, f, h, w, 3)), jnp.float32),
+            "memory_values": jnp.asarray(rng.uniform(-1, 1, (1, f, h, w, 3)), jnp.float32),
+            "plucker": jnp.asarray(rng.normal(size=(1, f, 8, 16, 6)), jnp.float32),
+        }
+        state, metrics = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(metrics["loss"]))
+        moved = 0
+        for got, was, m in zip(
+            jax.tree.leaves(state.params), jax.tree.leaves(before), jax.tree.leaves(mask)
+        ):
+            assert got.dtype == (jnp.float32 if m else jnp.bfloat16)
+            if m:
+                moved += int(not np.array_equal(np.asarray(got), was))
+            else:
+                np.testing.assert_array_equal(np.asarray(got), was)
+        assert moved > 0
+
+    def test_vae_encode_chunking_is_exact(self):
+        """Per-frame encodes are independent, so the chunked loss must equal
+        the unchunked one exactly (same rng stream, same math)."""
+        from evoworld_tpu.models.clip import CLIPVisionTower
+        from evoworld_tpu.train.train_step import TrainConfig, edm_loss
+
+        unet = UNetSpatioTemporal(TINY_UNET)
+        vae = AutoencoderKLTemporal(TINY_VAE)
+        clip_tower = CLIPVisionTower(TINY_CLIP)
+        key = jax.random.key(0)
+        f, h, w = 3, 64, 128
+        unet_params = unet.init(key, jnp.zeros((1, f, 8, 16, 18)), jnp.asarray(1.0),
+                                jnp.zeros((1, 1, 1024)), jnp.zeros((1, 3)))
+        frozen = {
+            "vae": vae.init(key, jnp.zeros((1, h, w, 3)), 1),
+            "clip": clip_tower.init(key, jnp.zeros((1, 224, 224, 3))),
+        }
+        rng = np.random.default_rng(7)
+        batch = {
+            "pixel_values": jnp.asarray(rng.uniform(-1, 1, (1, f, h, w, 3)), jnp.float32),
+            "memory_values": jnp.asarray(rng.uniform(-1, 1, (1, f, h, w, 3)), jnp.float32),
+            "plucker": jnp.asarray(rng.normal(size=(1, f, 8, 16, 6)), jnp.float32),
+        }
+        losses = [
+            float(edm_loss(
+                unet, vae, clip_tower, unet_params, frozen, batch,
+                jax.random.key(3),
+                TrainConfig(total_steps=10, warmup_steps=1, vae_encode_chunk=chunk),
+                jnp.float32,
+            ))
+            for chunk in (0, 2)  # 0 = all 2*f(+1) frames at once; 2 = ragged chunks
+        ]
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
     def test_grad_accumulation_matches_averaged_grads(self):
         """accum_steps=N must equal one optimizer update on the N-microbatch
         grad average (reference accelerator.accumulate semantics,
