@@ -122,59 +122,79 @@ def peak_hbm_gb() -> float | None:
         return None
 
 
+def run_rung(height: int, width: int, frames: int, tiny: bool, repeats: int,
+             small: bool):
+    step, state, batch = build_step(height, width, frames, tiny)
+    t0 = time.time()
+    state, metrics = step(state, batch, jax.random.key(1))
+    loss = float(metrics["loss"])  # scalar readback = sync
+    print(f"# compile+first-step: {time.time()-t0:.1f}s loss={loss:.4f}",
+          file=sys.stderr)
+    assert jnp.isfinite(loss)
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        state, metrics = step(state, batch, jax.random.key(i + 2))
+        float(metrics["loss"])
+        times.append(time.time() - t0)
+    value = min(times)
+    rec = {
+        "metric": f"train_sec_per_step_{width}x{height}x{frames}_bs1"
+                  + ("_small" if small else ""),
+        "value": round(value, 3),
+        "unit": "s/step",
+        "vs_baseline": None,
+        "peak_hbm_gb": peak_hbm_gb(),
+    }
+    print(json.dumps(rec))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--small", action="store_true", help="tiny smoke config")
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--rung", default=None,
+                        help="run exactly one WIDTHxHEIGHTxFRAMES shape "
+                             "in-process (used by the ladder's subprocesses)")
     args = parser.parse_args()
+
+    if args.small:
+        run_rung(64, 128, 3, tiny=True, repeats=args.repeats, small=True)
+        return
+    if args.rung:
+        width, height, frames = (int(x) for x in args.rung.split("x"))
+        run_rung(height, width, frames, tiny=False, repeats=args.repeats,
+                 small=False)
+        return
 
     # Ladder: largest single-chip-feasible shapes first (full model, remat).
     # H/W must be multiples of 64 (latents /8 must survive the UNet's three
     # stride-2 downsamples without odd-dim skip mismatches — 288 -> latent 36
     # -> 9 -> ceil 5 vs skip 9 breaks the up-path concat).
-    if args.small:
-        ladder = [(64, 128, 3, True)]
-    else:
-        ladder = [
-            (576, 1024, 25, False),   # reference config (likely OOM on 1 chip)
-            (256, 512, 25, False),
-            (256, 512, 13, False),
-            (128, 256, 13, False),
-        ]
+    #
+    # Each rung runs in its OWN subprocess: a failed rung must not leak its
+    # device buffers (frozen nets + batch + step closure, ~8 GiB) into the
+    # next attempt — with in-process retries every post-failure rung OOMed
+    # on the corpse of the previous one. Subprocesses also isolate
+    # remote-compile-helper crashes (HTTP 500 at the full-res rung).
+    import subprocess
 
-    last_error = None
-    for height, width, frames, tiny in ladder:
-        try:
-            step, state, batch = build_step(height, width, frames, tiny)
-            t0 = time.time()
-            state, metrics = step(state, batch, jax.random.key(1))
-            loss = float(metrics["loss"])  # scalar readback = sync
-            print(f"# compile+first-step: {time.time()-t0:.1f}s loss={loss:.4f}",
-                  file=sys.stderr)
-            assert jnp.isfinite(loss)
-            times = []
-            for i in range(args.repeats):
-                t0 = time.time()
-                state, metrics = step(state, batch, jax.random.key(i + 2))
-                float(metrics["loss"])
-                times.append(time.time() - t0)
-            value = min(times)
-            rec = {
-                "metric": f"train_sec_per_step_{width}x{height}x{frames}_bs1"
-                          + ("_small" if args.small else ""),
-                "value": round(value, 3),
-                "unit": "s/step",
-                "vs_baseline": None,
-                "peak_hbm_gb": peak_hbm_gb(),
-            }
-            print(json.dumps(rec))
+    ladder = ["1024x576x25", "512x256x25", "512x256x13", "256x128x13"]
+    last = None
+    for rung in ladder:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--rung", rung,
+             "--repeats", str(args.repeats)],
+            stdout=subprocess.PIPE, text=True,
+        )
+        if proc.returncode == 0 and proc.stdout.strip():
+            sys.stdout.write(proc.stdout.splitlines()[-1] + "\n")
             return
-        except Exception as exc:  # noqa: BLE001 — try the next rung
-            last_error = exc
-            print(f"# train bench failed at {width}x{height}x{frames}: "
-                  f"{type(exc).__name__}: {str(exc)[:300]}", file=sys.stderr)
-            time.sleep(30)
-    raise SystemExit(f"all train bench sizes failed: {last_error}")
+        last = rung
+        print(f"# train bench rung {rung} failed (rc={proc.returncode})",
+              file=sys.stderr)
+        time.sleep(30)
+    raise SystemExit(f"all train bench sizes failed (last: {last})")
 
 
 if __name__ == "__main__":
