@@ -125,6 +125,11 @@ def peak_hbm_gb() -> float | None:
 def run_rung(height: int, width: int, frames: int, tiny: bool, repeats: int,
              small: bool):
     step, state, batch = build_step(height, width, frames, tiny)
+    # Materialize the state on device before the first call: donation
+    # (donate_argnums=0) only reuses buffers of device arrays — host-numpy
+    # leaves transfer into fresh buffers the update can't alias, which
+    # doubles the 6.5 GiB state at the largest rungs.
+    state = jax.device_put(state)
     t0 = time.time()
     state, metrics = step(state, batch, jax.random.key(1))
     loss = float(metrics["loss"])  # scalar readback = sync
@@ -179,7 +184,8 @@ def main():
     # remote-compile-helper crashes (HTTP 500 at the full-res rung).
     import subprocess
 
-    ladder = ["1024x576x25", "512x256x25", "512x256x13", "256x128x13"]
+    ladder = ["1024x576x25", "768x384x13", "512x256x25", "512x256x13",
+              "256x128x13"]
     last = None
     for rung in ladder:
         proc = subprocess.run(
