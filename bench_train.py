@@ -114,11 +114,23 @@ def build_step(height: int, width: int, frames: int, tiny: bool):
     return step, state, batch
 
 
-def peak_hbm_gb() -> float | None:
+def peak_hbm_gb(step=None, *example_args) -> float | None:
     try:
         stats = jax.devices()[0].memory_stats()
         return round(stats["peak_bytes_in_use"] / 2**30, 2)
     except Exception:  # noqa: BLE001 — not all backends expose memory_stats
+        pass
+    # Tunnel backends expose no runtime memory_stats; fall back to the
+    # compiler's figure: arguments + temps (outputs alias the donated
+    # state). The compile below is a persistent-cache hit — the step just
+    # ran — so this costs one trace, not a recompile.
+    if step is None:
+        return None
+    try:
+        ma = step.lower(*example_args).compile().memory_analysis()
+        peak = ma.argument_size_in_bytes + ma.temp_size_in_bytes
+        return round(peak / 2**30, 2)
+    except Exception:  # noqa: BLE001 — best-effort diagnostic only
         return None
 
 
@@ -149,7 +161,7 @@ def run_rung(height: int, width: int, frames: int, tiny: bool, repeats: int,
         "value": round(value, 3),
         "unit": "s/step",
         "vs_baseline": None,
-        "peak_hbm_gb": peak_hbm_gb(),
+        "peak_hbm_gb": peak_hbm_gb(step, state, batch, jax.random.key(1)),
     }
     print(json.dumps(rec))
 
