@@ -9,6 +9,8 @@ sweep re-execs this in subprocesses).
 Run on the TPU tunnel: python scripts/exp_unet_fwd.py
 """
 
+import json
+import os
 import sys
 import time
 
@@ -37,6 +39,15 @@ def unet_forward():
     )
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes)
     fn = jax.jit(lambda p, s: model.apply(p, s, jnp.asarray(1.0), context, time_ids))
+    # TPU-only compiler flags can't ride XLA_FLAGS here: flag parsing is
+    # client-side (CPU build, dies on unknown flags) while the compile is
+    # server-side over the tunnel. Per-jit compiler_options reach the
+    # backend compiler directly. EVW_COMPILER_OPTIONS='{"flag": "val"}'.
+    opts = os.environ.get("EVW_COMPILER_OPTIONS")
+    if opts:
+        compiled = fn.lower(params, sample).compile(
+            compiler_options=json.loads(opts))
+        fn = lambda p, s: compiled(p, s)  # noqa: E731
     t0 = time.time()
     out = fn(params, sample)
     float(jnp.sum(out[..., 0, 0, 0]))

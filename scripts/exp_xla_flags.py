@@ -16,21 +16,27 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
+# TPU flags go through per-jit compiler_options (EVW_COMPILER_OPTIONS in
+# the child), NOT XLA_FLAGS: the client is a CPU XLA build whose flag
+# parser fatally rejects TPU-only names, while the actual compile happens
+# server-side over the tunnel.
 FLAG_SETS = {
-    "baseline": "",
-    "vmem64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "vmem128m": "--xla_tpu_scoped_vmem_limit_kib=131072",
-    "dotdot": "--xla_tpu_dot_dot_fusion_duplicated=true",
+    "baseline": {},
+    "vmem64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "vmem128m": {"xla_tpu_scoped_vmem_limit_kib": "131072"},
+    "latency_sched": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+    "async_all": {"xla_tpu_enable_async_collective_fusion": "true"},
 }
 
 
 def main():
+    import json
+
     child = os.path.join(HERE, "exp_unet_fwd.py")
     for name, flags in FLAG_SETS.items():
         env = dict(os.environ)
-        base = env.get("XLA_FLAGS", "")
-        env["XLA_FLAGS"] = (base + " " + flags).strip()
-        print(f"=== {name}: XLA_FLAGS={env['XLA_FLAGS']!r}", flush=True)
+        env["EVW_COMPILER_OPTIONS"] = json.dumps(flags) if flags else ""
+        print(f"=== {name}: compiler_options={flags}", flush=True)
         try:
             out = subprocess.run(
                 [sys.executable, child, "unet_base"],
