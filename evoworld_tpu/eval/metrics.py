@@ -28,10 +28,13 @@ def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
-    x = jnp.arange(size, dtype=jnp.float64) - (size - 1) / 2.0
-    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    # Host-side numpy so the normalization really happens in float64 (the
+    # reference's cv2 path); the device compute below is float32 — the
+    # cv2-golden test passes at that precision (tests/test_data_eval.py).
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(x**2) / (2.0 * sigma**2))
     g = g / g.sum()
-    return jnp.outer(g, g)
+    return jnp.asarray(np.outer(g, g), jnp.float32)
 
 
 def _filter2d_same(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
@@ -53,8 +56,10 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
     if img1.ndim == 3:
         vals = [ssim(img1[..., c], img2[..., c]) for c in range(img1.shape[-1])]
         return jnp.mean(jnp.stack(vals))
-    img1 = img1.astype(jnp.float64)
-    img2 = img2.astype(jnp.float64)
+    # f32, not the reference's f64: jax-on-TPU has no f64 (a f64 request
+    # silently truncates), and the cv2 golden parity test passes at f32.
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
     c1, c2 = 0.01**2, 0.03**2
     window = _gaussian_window()
     crop = slice(5, -5)
