@@ -200,11 +200,21 @@ def main():
               "256x128x13"]
     last = None
     for rung in ladder:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--rung", rung,
-             "--repeats", str(args.repeats)],
-            stdout=subprocess.PIPE, text=True,
-        )
+        try:
+            # Bound each rung: the tunnel's known bad modes include silent
+            # 10+ minute wedges, not just raised errors — an unbounded child
+            # would hang the whole ladder on the first stuck compile.
+            proc = subprocess.run(
+                [sys.executable, __file__, "--rung", rung,
+                 "--repeats", str(args.repeats)],
+                stdout=subprocess.PIPE, text=True, timeout=2400,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# train bench rung {rung} timed out (2400 s)",
+                  file=sys.stderr)
+            last = rung
+            time.sleep(30)
+            continue
         if proc.returncode == 0 and proc.stdout.strip():
             sys.stdout.write(proc.stdout.splitlines()[-1] + "\n")
             return

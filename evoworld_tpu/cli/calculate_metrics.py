@@ -68,12 +68,20 @@ def _load_metric_weights(weights_dir: str) -> dict:
     return out
 
 
-def _read_video_dir(path: str, num_frames: int) -> np.ndarray:
-    names = sorted(f for f in os.listdir(path) if f.endswith(".png"))[-num_frames:]
-    return np.stack([
-        np.asarray(Image.open(os.path.join(path, n)).convert("RGB"), np.float32) / 255.0
-        for n in names
-    ])
+def _read_video_dir(path: str, num_frames: int, size_hw=None) -> np.ndarray:
+    """Last `num_frames` PNGs of a directory -> (N, H, W, 3) in [0, 1].
+
+    `size_hw`: optional (H, W) to bilinear-resize mismatched frames to (used
+    by the parity gate when reference frames were rendered at another size).
+    """
+    names = sorted(f for f in os.listdir(path) if f.lower().endswith(".png"))[-num_frames:]
+    frames = []
+    for n in names:
+        im = Image.open(os.path.join(path, n)).convert("RGB")
+        if size_hw is not None and im.size != (size_hw[1], size_hw[0]):
+            im = im.resize((size_hw[1], size_hw[0]), Image.BILINEAR)
+        frames.append(np.asarray(im, np.float32) / 255.0)
+    return np.stack(frames)
 
 
 def main(argv=None):

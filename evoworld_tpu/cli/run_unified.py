@@ -52,15 +52,14 @@ def main(argv=None):
         logger.info(f"Episode {name}")
         camera_params = load_camera_poses(os.path.join(sample.episode_path, "camera_poses.txt"))
 
-        out = loop.run_episode(
-            jnp.asarray(sample.pixel_values[0]),
-            sample.cam_traj,
-            camera_params,
-            jax.random.key(rt.seed + idx),
-        )
-
         ep_dir = os.path.join(rt.save_dir, name)
-        for seg_id, frames in enumerate(out["segments"]):
+
+        # Stream each segment to disk as it finishes (the reference writes
+        # PNGs per segment too, unified_loop_consistency.py:430-440) — deep
+        # episodes then hold only the reconstruction window in HBM instead of
+        # every decoded frame + memory stack (a 5-segment 1024x576 episode is
+        # ~850 MB of frames + ~170 MB/segment of renders in fp32).
+        def save_segment(seg_id, frames):
             start = seg_id * (config.pipeline.num_frames - 1)
             save_frames(frames, os.path.join(ep_dir, f"predictions_{seg_id}"), start)
             s, e, _ = calculate_segment_indices(seg_id, config.loop.num_target_view)
@@ -69,8 +68,18 @@ def main(argv=None):
                 frames_from_minus1_1(gt[1:] if seg_id else gt),
                 os.path.join(ep_dir, f"predictions_gt_{seg_id}"), start,
             )
-        for seg_id, mem in enumerate(out["memories"]):
+
+        def save_memory(seg_id, mem):
             save_frames(mem, os.path.join(ep_dir, f"rendered_panorama_{seg_id}"), 0, "{:02d}.png")
+
+        loop.run_episode(
+            jnp.asarray(sample.pixel_values[0]),
+            sample.cam_traj,
+            camera_params,
+            jax.random.key(rt.seed + idx),
+            on_segment=save_segment,
+            on_memory=save_memory,
+        )
         logger.info(f"Saved episode to {ep_dir}")
 
 

@@ -49,18 +49,12 @@ def _step(n: int, msg: str) -> None:
 
 def _load_png_dir(path: str, num: int, size_hw) -> np.ndarray:
     """Last `num` PNGs of a directory -> (num, H, W, 3) in [0, 1]."""
-    from PIL import Image
+    from evoworld_tpu.cli.calculate_metrics import _read_video_dir
 
-    names = sorted(f for f in os.listdir(path) if f.lower().endswith(".png"))
-    if len(names) < num:
-        raise SystemExit(f"{path}: need {num} frames, found {len(names)}")
-    frames = []
-    for name in names[-num:]:
-        im = Image.open(os.path.join(path, name)).convert("RGB")
-        if size_hw is not None and im.size != (size_hw[1], size_hw[0]):
-            im = im.resize((size_hw[1], size_hw[0]), Image.BILINEAR)
-        frames.append(np.asarray(im, np.float32) / 255.0)
-    return np.stack(frames)
+    frames = _read_video_dir(path, num, size_hw=size_hw)
+    if frames.shape[0] < num:
+        raise SystemExit(f"{path}: need {num} frames, found {frames.shape[0]}")
+    return frames
 
 
 def _score(gen: np.ndarray, gt: np.ndarray, nets, metrics) -> dict:
@@ -101,7 +95,10 @@ def main(argv=None) -> None:
     elif not p.dry_run:
         logger.warning("  no --runtime.vggt_checkpoint (single-segment gate "
                        "does not need it; the unified loop does)")
-    if problems and not p.dry_run:
+    if problems:
+        # Gate on converter problems even in dry-run mode: `problems` only
+        # accumulates when a checkpoint WAS supplied, and a broken converter
+        # is exactly what the dry run exists to catch before weights day.
         for pr in problems[:20]:
             logger.error(f"  converter problem: {pr}")
         print("PARITY GATE: FAIL (converter validation)")
@@ -149,7 +146,19 @@ def main(argv=None) -> None:
     from evoworld_tpu.cli.calculate_metrics import _load_metric_weights
     from evoworld_tpu.eval.harness import FeatureNets
 
-    nets = FeatureNets(_load_metric_weights(rt.metric_weights_dir))
+    weights = _load_metric_weights(rt.metric_weights_dir)
+    if "lpips" in metrics and "lpips" not in weights:
+        # Without real AlexNet features, LPIPS degrades to seed-0 random
+        # projections — self-consistent but NOT what the reference measured.
+        if p.dry_run:
+            logger.warning("  no lpips weights in --runtime.metric_weights_dir:"
+                           " scoring with random features (dry run only)")
+        else:
+            print("PARITY GATE: FAIL (lpips requested but no lpips.pt under "
+                  "--runtime.metric_weights_dir — random-feature LPIPS would "
+                  "not measure what the reference measured)")
+            sys.exit(1)
+    nets = FeatureNets(weights)
     ours = _score(frames, np.asarray(gt), nets, metrics)
     for k, v in ours.items():
         logger.info(f"  ours.{k} = {v:.6f}")
@@ -159,7 +168,13 @@ def main(argv=None) -> None:
     if p.reference_scores:
         with open(p.reference_scores) as fh:
             ref_json = json.load(fh)
-        theirs = {m: float(ref_json[m]["value_mean"]) for m in metrics}
+        try:
+            theirs = {m: float(ref_json[m]["value_mean"]) for m in metrics}
+        except (KeyError, TypeError) as exc:
+            print(f"PARITY GATE: FAIL ({p.reference_scores} has no "
+                  f"<metric>.value_mean entry for {exc!r}; metrics requested: "
+                  f"{', '.join(metrics)})")
+            sys.exit(1)
         source = p.reference_scores
     elif p.reference_frames:
         ref_frames = _load_png_dir(p.reference_frames, frames.shape[0],

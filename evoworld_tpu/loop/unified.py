@@ -61,6 +61,11 @@ class LoopConfig:
     # window keeps per-segment reconstruct cost flat; alignment and yaw
     # bookkeeping shift with the window automatically.
     max_recon_frames: int = 0
+    # Drop frames older than the recon window from the device as the episode
+    # advances (pure memory optimization — bit-identical to keep-everything-
+    # and-slice; tests flip this off to assert exactly that). Only takes
+    # effect when max_recon_frames bounds the window.
+    trim_residency: bool = True
 
 
 class UnifiedLoop:
@@ -76,10 +81,6 @@ class UnifiedLoop:
         self.navigator = navigator
         self.reconstructor = reconstructor
         self.config = config
-        # Drop frames older than the recon window from the device as the
-        # episode advances (pure memory optimization; tests flip this off to
-        # assert bit-identity with the keep-everything semantics).
-        self._trim_residency = True
         # Multi-chip: the 24 memory renders shard over the mesh (the splat's
         # z-buffer views are independent — memory/render.py). None on one
         # device.
@@ -229,6 +230,7 @@ class UnifiedLoop:
         camera_params: np.ndarray,
         rng: jax.Array,
         on_segment: Optional[Callable] = None,
+        on_memory: Optional[Callable] = None,
     ) -> Dict[str, List[jnp.ndarray]]:
         """Generate `num_segments` clips with evolving 3D memory.
 
@@ -245,11 +247,17 @@ class UnifiedLoop:
                 every decoded frame (a 5-segment 1024x576 episode's frames
                 alone are ~850 MB fp32; the reference writes each segment to
                 PNG as it goes, unified_loop_consistency.py:430-440).
+                Rendered memory stacks follow the same rule: in streaming
+                mode they go to `on_memory` (or are dropped if it is None)
+                instead of accumulating ~170 MB/segment in the return value —
+                only the newest render is ever read again internally.
+            on_memory: optional `(segment_id, rendered) -> None` sink for the
+                per-segment memory panorama stacks (streaming mode only).
 
         Returns:
             dict with "segments": list of (F or F-1, H, W, 3) frame arrays in
-            [0, 1] (empty when on_segment is given) and "memories": list of
-            rendered memory stacks.
+            [0, 1] and "memories": list of rendered memory stacks (both empty
+            when on_segment is given — streaming mode).
         """
         cfg = self.config
         all_frames: Optional[jnp.ndarray] = None
@@ -291,7 +299,7 @@ class UnifiedLoop:
             # accumulate the whole history in HBM (observed RESOURCE_EXHAUSTED
             # at segments=5 on a 16 GB chip). Pure memory optimization:
             # rebuild_memory would slice the same window out anyway.
-            if (self._trim_residency and cfg.max_recon_frames
+            if (cfg.trim_residency and cfg.max_recon_frames
                     and all_frames.shape[0] > cfg.max_recon_frames):
                 drop = all_frames.shape[0] - cfg.max_recon_frames
                 frames_dropped += drop
@@ -306,7 +314,11 @@ class UnifiedLoop:
                 # into the pipeline's domain before they join its inputs.
                 if hasattr(current, "sharding"):
                     rendered = jax.device_put(rendered, current.sharding)
-                memories_out.append(rendered)
+                if on_segment is not None:
+                    if on_memory is not None:
+                        on_memory(segment_id, rendered)
+                else:
+                    memories_out.append(rendered)
                 # Next-segment memory: 25 frames = context frame + 24 renders
                 # in [-1, 1] (dataset transform convention, reference :422).
                 memory_frames = jnp.concatenate(

@@ -1,0 +1,104 @@
+"""Composed multi-chip loop parity check (shared gate logic).
+
+One tiny-scale episode of the full evolving-memory loop with the mesh wired
+into all three stages at once — frame-sharded generation (pipeline mesh),
+mesh VGGT reconstruction (head/ring-sharded global attention), and
+view-sharded splat rendering — asserted equal to the single-device episode.
+Exercises the cross-domain `jax.device_put` hand-off in loop/unified.py
+where splat renders re-enter the pipeline's sharding domain.
+
+Single source of truth for BOTH consumers (configs, run closure, and the
+99%-within-3e-2 / 0.2-max-abs gate must not drift apart):
+  - the driver's `__graft_entry__.dryrun_multichip` 4th gate;
+  - tests/test_sharding.py::TestShardedLoop.
+
+Reference driver: /root/reference/unified_loop_consistency.py:495-513.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_composed_loop(n_devices: int):
+    """Run the tiny 2-segment episode single-device and mesh-sharded.
+
+    Returns (ref, got): `run_episode` result dicts from the unsharded and the
+    `n_devices`-mesh runs (VGGT heads == n_devices so head sharding engages).
+    """
+    from evoworld_tpu.diffusion.pipeline import PipelineConfig, make_random_pipeline
+    from evoworld_tpu.models.clip import CLIPVisionConfig
+    from evoworld_tpu.models.unet import UNetConfig
+    from evoworld_tpu.models.vae import VAEConfig
+    from evoworld_tpu.models.vggt.aggregator import AggregatorConfig
+    from evoworld_tpu.models.vggt.model import VGGT, VGGTConfig, make_reconstructor
+    from evoworld_tpu.loop.navigator import Navigator
+    from evoworld_tpu.loop.unified import LoopConfig, UnifiedLoop
+    from evoworld_tpu.ops import attention as att
+    from evoworld_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:n_devices], model=1)
+    f = 4
+    pipe_cfg = PipelineConfig(height=64, width=128, num_frames=f, num_steps=2,
+                              decode_chunk=f, encode_chunk=f + 1)
+    pipe_kwargs = dict(
+        unet_config=UNetConfig(block_out_channels=(32, 64, 128, 128),
+                               num_attention_heads=(2, 4, 8, 8)),
+        vae_config=VAEConfig(block_out_channels=(32, 64, 128, 128)),
+        clip_config=CLIPVisionConfig(hidden_size=64, num_layers=2, num_heads=4,
+                                     mlp_dim=128),
+        compute_dtype=jnp.float32,
+        seed=7,
+    )
+    vggt = VGGT(VGGTConfig(aggregator=AggregatorConfig(
+        embed_dim=8 * n_devices, depth=4, num_heads=n_devices,
+        num_register_tokens=2, output_layers=(0, 1, 2, 3),
+        patch_encoder_depth=1,
+    )))
+    vggt_params = vggt.init(jax.random.key(3),
+                            jnp.zeros((1, 2, 48, 64, 3), jnp.float32))
+    loop_cfg = LoopConfig(num_segments=2, num_frames=f, num_target_view=f - 1,
+                          pers_height=48, pers_width=64)
+    n_poses = 2 * (f - 1) + f + 5
+    poses = np.zeros((n_poses, 6), np.float32)
+    poses[:, 2] = np.arange(n_poses) * 0.4
+    start = jnp.full((64, 128, 3), 0.1)
+
+    prev_min_seq = att._HEAD_SHARD_MIN_SEQ
+    att._HEAD_SHARD_MIN_SEQ = 16  # tiny sequences must still engage sharding
+    try:
+        def run(mesh_):
+            pipe = make_random_pipeline(pipe_cfg, mesh=mesh_, **pipe_kwargs)
+            recon = make_reconstructor(vggt, vggt_params, jnp.float32, mesh=mesh_,
+                                       offload_params=False)
+            loop = UnifiedLoop(Navigator(pipe, num_frames=f), recon, loop_cfg,
+                               mesh=mesh_)
+            return loop.run_episode(start, poses * 0.1, poses, jax.random.key(0))
+
+        return run(None), run(mesh)
+    finally:
+        att._HEAD_SHARD_MIN_SEQ = prev_min_seq
+
+
+def assert_episode_close(ref: dict, got: dict) -> None:
+    """Sharded episode == single-device, up to splat z-buffer tie flips.
+
+    Sharded fp reduction order perturbs the VGGT outputs at ~1e-6; the
+    splat's winner-take-all z-buffer amplifies near-ties into a handful of
+    pixel flips that then diffuse through the next segment's conditioning.
+    Gate on the distribution: >=99% of pixels within 3e-2; cap the stragglers
+    only for DIFFUSED outputs (segments) — a raw splat tie flip can change a
+    memory pixel's color arbitrarily, so memories get the fraction gate alone.
+    """
+    assert len(got["segments"]) == 2 and len(got["memories"]) == 1
+    for name, max_abs in (("segments", 0.2), ("memories", None)):
+        for i, (a, b) in enumerate(zip(ref[name], got[name])):
+            diff = np.abs(np.asarray(a) - np.asarray(b))
+            frac = (diff <= 3e-2).mean()
+            assert frac >= 0.99, \
+                f"{name} {i}: only {frac:.4f} of pixels within 3e-2"
+            if max_abs is not None:
+                assert diff.max() <= max_abs, \
+                    f"{name} {i}: max abs diff {diff.max():.3f}"

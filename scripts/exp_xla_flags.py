@@ -3,8 +3,8 @@
 The non-attention ~1.1 s of the 1.955 s forward is elementwise chains at
 practical HBM bandwidth (scripts/README.md); deeper fusion is the only
 remaining compiler-side lever. Each flag set runs in a subprocess (flags
-must be set before backend init) and reuses exp_temporal_attn's unet_base
-bench, which prints `forward N ms`.
+must be set before backend init) around scripts/exp_unet_fwd.py, which
+prints `forward N ms`.
 
 Run on the TPU tunnel: python scripts/exp_xla_flags.py
 (child bench: scripts/exp_unet_fwd.py)
@@ -39,7 +39,7 @@ def main():
         print(f"=== {name}: compiler_options={flags}", flush=True)
         try:
             out = subprocess.run(
-                [sys.executable, child, "unet_base"],
+                [sys.executable, child],
                 env=env, capture_output=True, text=True, timeout=3600,
             )
             for line in (out.stdout + out.stderr).splitlines():

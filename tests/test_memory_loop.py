@@ -274,15 +274,16 @@ class TestDeepLoop:
         poses = np.zeros((n_poses, 6), np.float32)
         poses[:, 2] = np.arange(n_poses) * 0.4
 
-        def run(max_recon, trim=True, on_segment=None):
+        def run(max_recon, trim=True, on_segment=None, on_memory=None):
             loop = UnifiedLoop(
                 nav, stub_reconstructor,
                 LoopConfig(num_segments=segs, num_frames=f, num_target_view=f - 1,
-                           pers_height=12, pers_width=18, max_recon_frames=max_recon),
+                           pers_height=12, pers_width=18, max_recon_frames=max_recon,
+                           trim_residency=trim),
             )
-            loop._trim_residency = trim
             return loop.run_episode(jnp.zeros((64, 128, 3)), poses * 0.1, poses,
-                                    jax.random.key(0), on_segment=on_segment)
+                                    jax.random.key(0), on_segment=on_segment,
+                                    on_memory=on_memory)
 
         out = run(window)
         # Unbounded counts would be f, f+(f-1), f+2(f-1) = 3, 5, 7.
@@ -300,14 +301,20 @@ class TestDeepLoop:
         for a, b in zip(out["memories"], untrimmed["memories"]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-        # Streaming sink: segments arrive in order with identical values and
-        # are not accumulated in the return value.
+        # Streaming sinks: segments AND memory stacks arrive in order with
+        # identical values and neither accumulates in the return value (deep
+        # episodes must not hold ~170 MB/segment of old renders in HBM).
         seen_counts.clear()
-        streamed = []
-        ret = run(window, on_segment=lambda i, fr: streamed.append((i, np.asarray(fr))))
-        assert ret["segments"] == []
+        streamed, streamed_mem = [], []
+        ret = run(window,
+                  on_segment=lambda i, fr: streamed.append((i, np.asarray(fr))),
+                  on_memory=lambda i, m: streamed_mem.append((i, np.asarray(m))))
+        assert ret["segments"] == [] and ret["memories"] == []
         assert [i for i, _ in streamed] == list(range(segs))
         for (_, a), b in zip(streamed, out["segments"]):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        assert [i for i, _ in streamed_mem] == list(range(segs - 1))
+        for (_, a), b in zip(streamed_mem, out["memories"]):
             np.testing.assert_array_equal(a, np.asarray(b))
 
         seen_counts.clear()
