@@ -69,6 +69,36 @@ def _score(gen: np.ndarray, gt: np.ndarray, nets, metrics) -> dict:
     return out
 
 
+def _reference_scores_from_json(path: str, metrics) -> dict:
+    """Extract {metric: value_mean} from a reference eval_score.json, turning
+    a missing/misshapen entry into the gate's FAIL exit instead of a raw
+    KeyError after minutes of generation."""
+    with open(path) as fh:
+        ref_json = json.load(fh)
+    try:
+        return {m: float(ref_json[m]["value_mean"]) for m in metrics}
+    except (KeyError, TypeError) as exc:
+        print(f"PARITY GATE: FAIL ({path} has no <metric>.value_mean entry "
+              f"for {exc!r}; metrics requested: {', '.join(metrics)})")
+        sys.exit(1)
+
+
+def _gate(ours: dict, theirs: dict, metrics, tolerance: float, source: str,
+          log=None) -> list:
+    """Compare per-metric scores; returns the metrics outside `tolerance`
+    relative difference (the BASELINE.md north-star 1% gate)."""
+    failed = []
+    for m in metrics:
+        rel = abs(ours[m] - theirs[m]) / max(abs(theirs[m]), 1e-12)
+        status = "ok" if rel <= tolerance else "FAIL"
+        if log is not None:
+            log(f"  {m}: ours={ours[m]:.6f} reference={theirs[m]:.6f} "
+                f"rel-diff={rel:.4%} [{status}] (reference: {source})")
+        if rel > tolerance:
+            failed.append(m)
+    return failed
+
+
 def main(argv=None) -> None:
     config = parse_config(argv)
     p, rt, data = config.parity, config.runtime, config.data
@@ -166,15 +196,7 @@ def main(argv=None) -> None:
     # ---- [4/4] gate vs the reference ---------------------------------
     _step(4, f"gate: within {p.tolerance:.1%} of the reference")
     if p.reference_scores:
-        with open(p.reference_scores) as fh:
-            ref_json = json.load(fh)
-        try:
-            theirs = {m: float(ref_json[m]["value_mean"]) for m in metrics}
-        except (KeyError, TypeError) as exc:
-            print(f"PARITY GATE: FAIL ({p.reference_scores} has no "
-                  f"<metric>.value_mean entry for {exc!r}; metrics requested: "
-                  f"{', '.join(metrics)})")
-            sys.exit(1)
+        theirs = _reference_scores_from_json(p.reference_scores, metrics)
         source = p.reference_scores
     elif p.reference_frames:
         ref_frames = _load_png_dir(p.reference_frames, frames.shape[0],
@@ -190,14 +212,7 @@ def main(argv=None) -> None:
               "--parity.reference_frames given)")
         sys.exit(1)
 
-    failed = []
-    for m in metrics:
-        rel = abs(ours[m] - theirs[m]) / max(abs(theirs[m]), 1e-12)
-        status = "ok" if rel <= p.tolerance else "FAIL"
-        logger.info(f"  {m}: ours={ours[m]:.6f} reference={theirs[m]:.6f} "
-                    f"rel-diff={rel:.4%} [{status}] (reference: {source})")
-        if rel > p.tolerance:
-            failed.append(m)
+    failed = _gate(ours, theirs, metrics, p.tolerance, source, log=logger.info)
 
     tag = " (DRY RUN — random weights; re-run with real checkpoints)" if p.dry_run else ""
     if failed:

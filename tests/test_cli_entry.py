@@ -202,6 +202,35 @@ class TestReprojectCLI:
         assert len(os.listdir(out)) == 4
 
 
+class TestParityGateLogic:
+    """Fast unit coverage of the gate's pure decision logic — the slow
+    end-to-end drives below exercise the full chain once."""
+
+    def test_gate_splits_pass_and_fail_at_tolerance(self):
+        from evoworld_tpu.cli.validate_parity import _gate
+
+        ours = {"psnr": 20.1, "lpips": 0.200}
+        theirs = {"psnr": 20.0, "lpips": 0.208}
+        # psnr off by 0.5% (passes at 1%), lpips off by ~3.8% (fails).
+        assert _gate(ours, theirs, ("psnr", "lpips"), 0.01, "t") == ["lpips"]
+        assert _gate(ours, theirs, ("psnr", "lpips"), 0.05, "t") == []
+        # Zero reference score must not divide by zero.
+        assert _gate({"psnr": 0.0}, {"psnr": 0.0}, ("psnr",), 0.01, "t") == []
+
+    def test_missing_metric_in_reference_scores_is_gate_fail(self, tmp_path, capsys):
+        from evoworld_tpu.cli.validate_parity import _reference_scores_from_json
+
+        path = tmp_path / "eval_score.json"
+        path.write_text(json.dumps({"psnr": {"value_mean": 20.0}}))
+        # Present keys parse; a requested-but-absent metric exits 1 with the
+        # gate's FAIL line instead of a raw KeyError.
+        assert _reference_scores_from_json(str(path), ("psnr",)) == {"psnr": 20.0}
+        with pytest.raises(SystemExit) as exc:
+            _reference_scores_from_json(str(path), ("psnr", "lpips"))
+        assert exc.value.code == 1
+        assert "PARITY GATE: FAIL" in capsys.readouterr().out
+
+
 class TestValidateParityCLI:
     def test_dry_run_gate_passes_end_to_end(self, tmp_path, capsys):
         """The weights-day parity gate in CI-tested dry-run mode: random tiny
