@@ -51,7 +51,14 @@ def _load_metric_weights(weights_dir: str) -> dict:
                 if not os.path.exists(path):
                     continue
                 try:
-                    sd = torch.load(path, map_location="cpu", weights_only=True)
+                    import warnings
+
+                    with warnings.catch_warnings():
+                        # torch.load warns "looks like a TorchScript archive"
+                        # before raising under weights_only=True — the except
+                        # below IS the dispatch it suggests.
+                        warnings.simplefilter("ignore", UserWarning)
+                        sd = torch.load(path, map_location="cpu", weights_only=True)
                 except Exception:
                     # TorchScript archives (the reference's i3d_torchscript.pt)
                     # are rejected by torch.load(weights_only=True); extract
