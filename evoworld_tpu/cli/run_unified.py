@@ -45,9 +45,15 @@ def main(argv=None):
     loop = UnifiedLoop(navigator, reconstructor, config.loop,
                        mesh=_inference_mesh(config.runtime))
 
+    from evoworld_tpu.utils.profiling import phase_timer
+
     end = data.end_idx if data.end_idx >= 0 else len(dataset)
     for idx in range(data.start_idx, min(end, len(dataset))):
-        sample = dataset[idx]
+        # host_decode: PNG decode + resize of the episode's frames (the
+        # native threaded loader when built — data/native_io.py); sync=False:
+        # pure host work, a device barrier would misattribute queued compute.
+        with phase_timer("host_decode", sync=False):
+            sample = dataset[idx]
         name = os.path.basename(sample.episode_path.rstrip("/")) or "episode"
         logger.info(f"Episode {name}")
         camera_params = load_camera_poses(os.path.join(sample.episode_path, "camera_poses.txt"))
@@ -60,17 +66,20 @@ def main(argv=None):
         # every decoded frame + memory stack (a 5-segment 1024x576 episode is
         # ~850 MB of frames + ~170 MB/segment of renders in fp32).
         def save_segment(seg_id, frames):
-            start = seg_id * (config.pipeline.num_frames - 1)
-            save_frames(frames, os.path.join(ep_dir, f"predictions_{seg_id}"), start)
-            s, e, _ = calculate_segment_indices(seg_id, config.loop.num_target_view)
-            gt = sample.pixel_values[s - 1 : e - 1] if seg_id else sample.pixel_values[0:e]
-            save_frames(
-                frames_from_minus1_1(gt[1:] if seg_id else gt),
-                os.path.join(ep_dir, f"predictions_gt_{seg_id}"), start,
-            )
+            with phase_timer("host_save", sync=False):
+                start = seg_id * (config.pipeline.num_frames - 1)
+                save_frames(frames, os.path.join(ep_dir, f"predictions_{seg_id}"), start)
+                s, e, _ = calculate_segment_indices(seg_id, config.loop.num_target_view)
+                gt = sample.pixel_values[s - 1 : e - 1] if seg_id else sample.pixel_values[0:e]
+                save_frames(
+                    frames_from_minus1_1(gt[1:] if seg_id else gt),
+                    os.path.join(ep_dir, f"predictions_gt_{seg_id}"), start,
+                )
 
         def save_memory(seg_id, mem):
-            save_frames(mem, os.path.join(ep_dir, f"rendered_panorama_{seg_id}"), 0, "{:02d}.png")
+            with phase_timer("host_save", sync=False):
+                save_frames(mem, os.path.join(ep_dir, f"rendered_panorama_{seg_id}"),
+                            0, "{:02d}.png")
 
         loop.run_episode(
             jnp.asarray(sample.pixel_values[0]),

@@ -47,10 +47,37 @@ def _step(n: int, msg: str) -> None:
     logger.info(f"[{n}/4] {msg}")
 
 
-def _load_png_dir(path: str, num: int, size_hw) -> np.ndarray:
-    """Last `num` PNGs of a directory -> (num, H, W, 3) in [0, 1]."""
+def _load_png_dir(path: str, num: int, size_hw, allow_resize: bool = False) -> np.ndarray:
+    """Last `num` PNGs of a directory -> (num, H, W, 3) in [0, 1].
+
+    Fails loudly on a frame-size mismatch unless `allow_resize`: a silently
+    bilinear-resampled reference systematically shifts PSNR/LPIPS and could
+    flip the 1% gate verdict without any trace in the log.
+    """
+    import os
+
+    from PIL import Image
+
     from evoworld_tpu.cli.calculate_metrics import _read_video_dir
 
+    names = sorted(f for f in os.listdir(path) if f.lower().endswith(".png"))
+    if names:
+        with Image.open(os.path.join(path, names[-1])) as im:
+            found_wh = im.size
+        if found_wh != (size_hw[1], size_hw[0]):
+            if not allow_resize:
+                raise SystemExit(
+                    f"{path}: reference frames are {found_wh[0]}x{found_wh[1]} "
+                    f"but generated frames are {size_hw[1]}x{size_hw[0]}; "
+                    "resampling would bias the parity scores. Re-render at the "
+                    "matching size, or pass --parity.resize_reference=true to "
+                    "resize anyway (logged, scores are then approximate)."
+                )
+            logger.warning(
+                f"{path}: resizing reference frames {found_wh[0]}x{found_wh[1]} "
+                f"-> {size_hw[1]}x{size_hw[0]} (--parity.resize_reference); "
+                "PSNR/LPIPS are biased by the resample."
+            )
     frames = _read_video_dir(path, num, size_hw=size_hw)
     if frames.shape[0] < num:
         raise SystemExit(f"{path}: need {num} frames, found {frames.shape[0]}")
@@ -200,7 +227,8 @@ def main(argv=None) -> None:
         source = p.reference_scores
     elif p.reference_frames:
         ref_frames = _load_png_dir(p.reference_frames, frames.shape[0],
-                                   frames.shape[1:3])
+                                   frames.shape[1:3],
+                                   allow_resize=p.resize_reference)
         theirs = _score(ref_frames, np.asarray(gt), nets, metrics)
         source = p.reference_frames
     elif p.dry_run:

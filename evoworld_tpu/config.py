@@ -79,6 +79,9 @@ class ParityConfig:
     #       same episode/segment — we score them against GT ourselves.
     reference_scores: str = ""
     reference_frames: str = ""
+    # Opt-in: bilinear-resize size-mismatched reference frames instead of
+    # failing (resampling biases PSNR/LPIPS — the gate warns when active).
+    resize_reference: bool = False
     tolerance: float = 0.01  # 1% gate, BASELINE.md north-star table
     metrics: str = "psnr,lpips"
 

@@ -48,6 +48,11 @@ def _filter2d_same(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
         (1, 1),
         "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # The ambient env truncates default-precision convs to bf16 even for
+        # f32 inputs; the E[x^2]-mu^2 variance terms cancel catastrophically
+        # at bf16, so this must stay true f32 on device (repo convention for
+        # math that gates the 1% parity tolerance).
+        precision=jax.lax.Precision.HIGHEST,
     )[0, :, :, 0]
 
 

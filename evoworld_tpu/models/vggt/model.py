@@ -194,7 +194,7 @@ def _try_host_offload(params):
 
 def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16,
                        offload_params: bool = True, head_chunk: int = 8,
-                       mesh=None):
+                       mesh=None, head_shard_min_seq: int | None = None):
     """Wrap a VGGT model as the UnifiedLoop reconstructor callable.
 
     Returns fn(images (S, Hp, Wp, 3) in [0,1]) -> dict with world_points,
@@ -210,6 +210,9 @@ def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16,
     shard_maps over the HEAD axis (ops/attention.py::head_sharded_attention),
     which needs no collectives inside the region. Param host-offload is
     skipped on meshes (memory pressure per chip already drops ~ndev-fold).
+    `head_shard_min_seq` overrides the sequence-length threshold at which
+    that shard_map engages (None = production default; tiny-shape gates and
+    tests lower it so their sequences still exercise the sharded path).
 
     The depth head runs `lax.map`-chunked over frames (`head_chunk` per
     step): its full-resolution transients scale with frame count, and at
@@ -288,7 +291,7 @@ def make_reconstructor(model: VGGT, params, compute_dtype=jnp.bfloat16,
             images = jnp.asarray(images)
             sh = frame_sh if images.shape[0] % n_mesh_devices == 0 else replicated_sh
             images = jax.device_put(images, sh)
-            with head_sharded_attention(mesh):
+            with head_sharded_attention(mesh, min_seq=head_shard_min_seq):
                 return reconstruct(params, images)
         # Restage offloaded params into HBM EAGERLY (PJRT DMA on the TPU
         # host); the transient device copy is dropped when the call returns,

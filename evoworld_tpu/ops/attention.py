@@ -31,7 +31,8 @@ import jax.numpy as jnp
 # tokens, 16 heads), where batch is 1 and the sequence is unshardable
 # without cross-device softmax.
 _HEAD_SHARD_MESH = None
-_HEAD_SHARD_MIN_SEQ = 4096  # module-level so tests can exercise tiny shapes
+_HEAD_SHARD_MIN_SEQ = 4096  # default routing threshold (production: 51k VGGT)
+_HEAD_SHARD_MIN_SEQ_OVERRIDE = None  # set via head_sharded_attention(min_seq=)
 
 # Tiny-sequence (S=25 temporal) attention stays on the einsum path: a fused
 # block-diagonal Pallas kernel won the isolated microbench but LOST the
@@ -44,20 +45,26 @@ _HEAD_SHARD_MIN_SEQ = 4096  # module-level so tests can exercise tiny shapes
 
 
 @contextlib.contextmanager
-def head_sharded_attention(mesh):
+def head_sharded_attention(mesh, min_seq: int | None = None):
     """Route long self-attention through a head-sharded shard_map on `mesh`.
 
     Must be active while the surrounding program is TRACED (the mesh is a
     static part of the compiled program). Callers that jit per-instance
     (e.g. vggt.make_reconstructor) can simply wrap every call.
+
+    `min_seq` overrides the routing threshold (sequence length at which the
+    shard_map engages) for the duration of the context — the supported way
+    for tiny-shape gates/tests to exercise the sharded path; production code
+    must never mutate the module globals directly.
     """
-    global _HEAD_SHARD_MESH
-    prev = _HEAD_SHARD_MESH
+    global _HEAD_SHARD_MESH, _HEAD_SHARD_MIN_SEQ_OVERRIDE
+    prev = (_HEAD_SHARD_MESH, _HEAD_SHARD_MIN_SEQ_OVERRIDE)
     _HEAD_SHARD_MESH = mesh
+    _HEAD_SHARD_MIN_SEQ_OVERRIDE = min_seq
     try:
         yield
     finally:
-        _HEAD_SHARD_MESH = prev
+        _HEAD_SHARD_MESH, _HEAD_SHARD_MIN_SEQ_OVERRIDE = prev
 
 
 def _head_sharded(q, k, v, scale, mesh):
@@ -224,19 +231,23 @@ def multi_head_attention(
     Returns:
         (B, Sq, H, Dh) attention output in q's dtype.
     """
-    # The ambient head-shard mesh is read OUTSIDE the jitted impl and passed
-    # as a static argument so it participates in the jit cache key (a
-    # closed-over global would silently return the first-traced program).
-    return _multi_head_attention(q, k, v, impl, _HEAD_SHARD_MESH)
+    # The ambient head-shard mesh/threshold are read OUTSIDE the jitted impl
+    # and passed as static arguments so they participate in the jit cache key
+    # (a closed-over global would silently return the first-traced program).
+    min_seq = _HEAD_SHARD_MIN_SEQ_OVERRIDE
+    if min_seq is None:
+        min_seq = _HEAD_SHARD_MIN_SEQ
+    return _multi_head_attention(q, k, v, impl, _HEAD_SHARD_MESH, min_seq)
 
 
-@functools.partial(jax.jit, static_argnames=("impl", "mesh"))
+@functools.partial(jax.jit, static_argnames=("impl", "mesh", "min_seq"))
 def _multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     impl: str,
     mesh,
+    min_seq: int = _HEAD_SHARD_MIN_SEQ,
 ) -> jnp.ndarray:
     scale = 1.0 / (q.shape[-1] ** 0.5)
     if k.shape[1] == 1 and v.shape[-1] == q.shape[-1] and impl == "auto":
@@ -256,7 +267,7 @@ def _multi_head_attention(
         mesh is not None
         and impl == "auto"
         and q.shape[1] == k.shape[1]
-        and q.shape[1] >= _HEAD_SHARD_MIN_SEQ
+        and q.shape[1] >= min_seq
     ):
         if q.shape[2] % math.prod(mesh.devices.shape) == 0:
             return _head_sharded(q, k, v, scale, mesh)

@@ -26,9 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+_LOG2_E = 1.4426950408889634  # log2(e)
+
+
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-    *, scale: float, block_k: int, kv_len: int,
+    *, scale: float, block_k: int, kv_len: int, use_exp2: bool,
 ):
     """One (bh, qi, kj) program: fold one KV block into the running softmax."""
     j = pl.program_id(2)
@@ -45,20 +48,28 @@ def _flash_kernel(
     # fp32 accumulator, and an fp32 matmul runs at ~1/8 the bf16 MXU rate —
     # the earlier cast-then-dot version measured ~9x off the FLOP bound at
     # VGGT's 39k-token global attention.
+    #
+    # use_exp2: fold log2(e) into the logit scale and take 2^x instead of
+    # e^x. exp() lowers to exp2(x * log2e) on the TPU VPU, so this removes
+    # one full multiply pass over the (block_q, block_k) f32 tile per KV
+    # step — the softmax stays exact (2^((s-m)*log2e) == e^(s-m), with the
+    # running max tracked in the pre-scaled domain).
     q = q_ref[0]                                        # (block_q, d)
     kb = k_ref[0]                                       # (block_k, d)
     vb = v_ref[0]
+    exp = jnp.exp2 if use_exp2 else jnp.exp
+    eff_scale = scale * _LOG2_E if use_exp2 else scale
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                           # (block_q, block_k) f32
+    ) * eff_scale                                       # (block_q, block_k) f32
     if kv_len % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
         s = jnp.where(col < kv_len, s, _NEG_INF)
 
     m_prev = m_ref[:]
     m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = exp(s - m_new)
+    alpha = exp(m_prev - m_new)
     m_ref[:] = m_new
     l_ref[:] = l_ref[:] * alpha + p.sum(axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -76,7 +87,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret", "use_exp2"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -86,6 +98,7 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: bool = False,
+    use_exp2: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over (B, S, H, D) tensors.
 
@@ -95,6 +108,9 @@ def flash_attention(
         scale: logit scale; defaults to 1/sqrt(D).
         block_q, block_k: tile sizes (clamped to padded sequence lengths).
         interpret: run the Pallas interpreter (CPU testing).
+        use_exp2: exact exp2-based softmax (log2e folded into the scale) —
+            saves one VPU multiply pass per KV tile; A/B'd on chip in
+            scripts/exp_softmax_prec.py.
 
     Returns:
         (B, Sq, H, D) output in q's dtype.
@@ -119,7 +135,8 @@ def flash_attention(
 
     grid = (batch * heads, sq_p // block_q, skv_p // block_k)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k, kv_len=skv),
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k,
+                          kv_len=skv, use_exp2=use_exp2),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dim), lambda b, i, j: (b, i, 0)),

@@ -22,41 +22,70 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run_composed_loop(n_devices: int):
-    """Run the tiny 2-segment episode single-device and mesh-sharded.
+def tiny_gate_pipeline_setup(n_devices: int):
+    """Shared tiny-pipeline setup for the driver's inference gate AND the
+    composed-loop gate.
 
-    Returns (ref, got): `run_episode` result dicts from the unsharded and the
-    `n_devices`-mesh runs (VGGT heads == n_devices so head sharding engages).
+    MUST stay byte-identical between the two consumers: pipeline params are
+    jit ARGUMENTS, so the three staged programs' (encode/denoise/decode) HLO
+    depends only on configs + shapes + mesh — identical setups make the
+    composed-loop gate's GSPMD compiles persistent-cache HITS from the
+    earlier, cheaper inference gate instead of a second multi-minute cold
+    compile (the r4 driver-timeout cause, MULTICHIP_r04.json).
+
+    Returns (num_frames, PipelineConfig, make_random_pipeline kwargs).
     """
-    from evoworld_tpu.diffusion.pipeline import PipelineConfig, make_random_pipeline
+    from evoworld_tpu.diffusion.pipeline import PipelineConfig
     from evoworld_tpu.models.clip import CLIPVisionConfig
     from evoworld_tpu.models.unet import UNetConfig
     from evoworld_tpu.models.vae import VAEConfig
-    from evoworld_tpu.models.vggt.aggregator import AggregatorConfig
-    from evoworld_tpu.models.vggt.model import VGGT, VGGTConfig, make_reconstructor
-    from evoworld_tpu.loop.navigator import Navigator
-    from evoworld_tpu.loop.unified import LoopConfig, UnifiedLoop
-    from evoworld_tpu.ops import attention as att
-    from evoworld_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(jax.devices()[:n_devices], model=1)
-    f = 4
-    pipe_cfg = PipelineConfig(height=64, width=128, num_frames=f, num_steps=2,
-                              decode_chunk=f, encode_chunk=f + 1)
-    pipe_kwargs = dict(
+    f = n_devices  # one (CFG x frame) slice per device in the denoise
+    cfg = PipelineConfig(height=64, width=128, num_frames=f, num_steps=2,
+                         decode_chunk=f, encode_chunk=f + 1)
+    kwargs = dict(
         unet_config=UNetConfig(block_out_channels=(32, 64, 128, 128),
-                               num_attention_heads=(2, 4, 8, 8)),
+                               num_attention_heads=(2, 4, 8, 8),
+                               layers_per_block=1),
         vae_config=VAEConfig(block_out_channels=(32, 64, 128, 128)),
         clip_config=CLIPVisionConfig(hidden_size=64, num_layers=2, num_heads=4,
                                      mlp_dim=128),
         compute_dtype=jnp.float32,
         seed=7,
     )
-    vggt = VGGT(VGGTConfig(aggregator=AggregatorConfig(
+    return f, cfg, kwargs
+
+
+def tiny_gate_vggt(n_devices: int):
+    """Shared tiny VGGT for the reconstruct gate AND the composed-loop gate
+    (same persistent-cache dedupe argument as tiny_gate_pipeline_setup —
+    param shapes, not values, enter the HLO hash). Heads == n_devices so the
+    head-sharded global attention engages."""
+    from evoworld_tpu.models.vggt.aggregator import AggregatorConfig
+    from evoworld_tpu.models.vggt.model import VGGT, VGGTConfig
+
+    return VGGT(VGGTConfig(aggregator=AggregatorConfig(
         embed_dim=8 * n_devices, depth=4, num_heads=n_devices,
         num_register_tokens=2, output_layers=(0, 1, 2, 3),
         patch_encoder_depth=1,
     )))
+
+
+def run_composed_loop(n_devices: int):
+    """Run the tiny 2-segment episode single-device and mesh-sharded.
+
+    Returns (ref, got): `run_episode` result dicts from the unsharded and the
+    `n_devices`-mesh runs (VGGT heads == n_devices so head sharding engages).
+    """
+    from evoworld_tpu.diffusion.pipeline import make_random_pipeline
+    from evoworld_tpu.models.vggt.model import make_reconstructor
+    from evoworld_tpu.loop.navigator import Navigator
+    from evoworld_tpu.loop.unified import LoopConfig, UnifiedLoop
+    from evoworld_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:n_devices], model=1)
+    f, pipe_cfg, pipe_kwargs = tiny_gate_pipeline_setup(n_devices)
+    vggt = tiny_gate_vggt(n_devices)
     vggt_params = vggt.init(jax.random.key(3),
                             jnp.zeros((1, 2, 48, 64, 3), jnp.float32))
     loop_cfg = LoopConfig(num_segments=2, num_frames=f, num_target_view=f - 1,
@@ -66,20 +95,16 @@ def run_composed_loop(n_devices: int):
     poses[:, 2] = np.arange(n_poses) * 0.4
     start = jnp.full((64, 128, 3), 0.1)
 
-    prev_min_seq = att._HEAD_SHARD_MIN_SEQ
-    att._HEAD_SHARD_MIN_SEQ = 16  # tiny sequences must still engage sharding
-    try:
-        def run(mesh_):
-            pipe = make_random_pipeline(pipe_cfg, mesh=mesh_, **pipe_kwargs)
-            recon = make_reconstructor(vggt, vggt_params, jnp.float32, mesh=mesh_,
-                                       offload_params=False)
-            loop = UnifiedLoop(Navigator(pipe, num_frames=f), recon, loop_cfg,
-                               mesh=mesh_)
-            return loop.run_episode(start, poses * 0.1, poses, jax.random.key(0))
+    def run(mesh_):
+        pipe = make_random_pipeline(pipe_cfg, mesh=mesh_, **pipe_kwargs)
+        # head_shard_min_seq=16: tiny sequences must still engage sharding.
+        recon = make_reconstructor(vggt, vggt_params, jnp.float32, mesh=mesh_,
+                                   offload_params=False, head_shard_min_seq=16)
+        loop = UnifiedLoop(Navigator(pipe, num_frames=f), recon, loop_cfg,
+                           mesh=mesh_)
+        return loop.run_episode(start, poses * 0.1, poses, jax.random.key(0))
 
-        return run(None), run(mesh)
-    finally:
-        att._HEAD_SHARD_MIN_SEQ = prev_min_seq
+    return run(None), run(mesh)
 
 
 def assert_episode_close(ref: dict, got: dict) -> None:

@@ -153,6 +153,18 @@ def make_train_state(config: TrainConfig, unet_params) -> tuple[TrainState, opta
     return TrainState(unet_params, opt.init(unet_params), jnp.zeros((), jnp.int32)), opt
 
 
+def _shard_axis(x: jnp.ndarray, mesh, axis: int) -> jnp.ndarray:
+    """Constrain `axis` of x to the mesh's data axis (no-op without mesh) —
+    the training-side twin of diffusion/pipeline.py::_shard_frames."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = [None] * x.ndim
+    spec[axis] = "data"
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
 def edm_loss(
     unet,
     vae,
@@ -163,6 +175,7 @@ def edm_loss(
     rng: jax.Array,
     config: TrainConfig,
     compute_dtype=jnp.bfloat16,
+    frame_mesh=None,
 ) -> jnp.ndarray:
     """EDM denoising loss for one batch.
 
@@ -170,6 +183,14 @@ def edm_loss(
       pixel_values: (B, F, H, W, 3) in [-1, 1]
       memory_values: (B, F, H, W, 3) in [-1, 1]
       plucker: (B, F, h, w, 6) channels-last
+
+    `frame_mesh`: optional mesh whose "data" axis the FRAME dimension of the
+    activations is constrained to (sequence-parallel training). This is how
+    bs-1 reference-scale training (1024x576x25) fits 16 GiB chips: the batch
+    axis is unshardable at bs1, but the ~60 GiB of per-step activation temps
+    scale with frames x latent-pixels, and frames shard cleanly — spatial
+    convs/attention are frame-independent; only the temporal-mix layers
+    cross chips (SCALING.md "Training sharding").
     """
     px = batch["pixel_values"]
     mem = batch["memory_values"]
@@ -180,6 +201,7 @@ def edm_loss(
 
     def vae_encode_sample(images, key):
         flat = images.reshape((-1,) + images.shape[2:])
+        flat = _shard_axis(flat, frame_mesh, 0)  # (B*F) folds the frame axis
         n = flat.shape[0]
         chunk = config.vae_encode_chunk or n
         moments = jnp.concatenate(
@@ -199,6 +221,7 @@ def edm_loss(
         return z.reshape(images.shape[:2] + z.shape[1:])
 
     latents = vae_encode_sample(px, r_lat) * config.vae_scaling          # (B, F, h, w, 4)
+    latents = _shard_axis(latents, frame_mesh, 1)
 
     # Conditioning latents with noise augmentation (unscaled).
     cond_imgs = jnp.concatenate([px[:, 0:1], mem], axis=1)               # (B, 1+F, H, W, 3)
@@ -239,6 +262,7 @@ def edm_loss(
     inp = noisy / jnp.sqrt(sig**2 + 1.0)
 
     unet_in = jnp.concatenate([inp, first_lat, mem_lat, plucker], axis=-1)  # (B, F, h, w, 18)
+    unet_in = _shard_axis(unet_in, frame_mesh, 1)
     timesteps = sigma_to_timestep(sigma)
     time_ids = jnp.stack(
         [
@@ -276,12 +300,19 @@ def make_sharded_train_step(
     compute_dtype=jnp.bfloat16,
     accum_steps: int = 1,
     zero_stage: int = 1,
+    shard_frames: bool = False,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
 
     Returns step(state, batch, rng) -> (state, metrics). When `mesh` is given
     the batch is sharded over the "data" axis and gradients are averaged by
     GSPMD-inserted collectives.
+
+    `shard_frames` shards the FRAME axis (batch dim 1) over "data" instead of
+    the batch axis — sequence parallelism for bs-per-mesh == 1, where batch
+    sharding is a no-op but the activation temps (which scale with frames x
+    latent-pixels, ~60 GiB at the reference 1024x576x25 shape) split ~1/N per
+    chip. See edm_loss's `frame_mesh` and SCALING.md "Training sharding".
 
     `zero_stage` >= 2 additionally constrains the gradients to data-axis
     shards before the optimizer update (DeepSpeed ZeRO-2 dataflow: the
@@ -312,7 +343,8 @@ def make_sharded_train_step(
                 lambda x, m: x if m else jax.lax.stop_gradient(x), p, mask
             )
             return edm_loss(
-                unet, vae, clip_tower, p, frozen_params, batch, rng, config, compute_dtype
+                unet, vae, clip_tower, p, frozen_params, batch, rng, config,
+                compute_dtype, frame_mesh=mesh if shard_frames else None,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -375,7 +407,12 @@ def make_sharded_train_step(
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    batch_spec = P(None, "data") if accum_steps > 1 else P("data")
+    if shard_frames:
+        # Frame axis (dim 1 of (B, F, ...) leaves; dim 2 with a leading
+        # micro-batch axis) over "data"; batch replicates.
+        batch_spec = P(None, None, "data") if accum_steps > 1 else P(None, "data")
+    else:
+        batch_spec = P(None, "data") if accum_steps > 1 else P("data")
     batch_sharding = NamedSharding(mesh, batch_spec)
     repl = NamedSharding(mesh, P())
     batch_shardings = {

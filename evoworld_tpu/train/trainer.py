@@ -219,6 +219,15 @@ def train(
             state, restored_ema = ckpt.restore(step0, state, with_ema=True)
         else:
             state = ckpt.restore(step0, state)
+        # Checkpoints saved before the mixed-dtype master policy carry
+        # all-fp32 frozen leaves; re-apply the cast so a resumed run keeps
+        # the memory win and compiles the same step executable as a fresh
+        # one. Idempotent for checkpoints already in the mixed policy.
+        state = TrainState(
+            freeze_master_cast(state.params, compute_dtype),
+            state.opt_state,
+            state.step,
+        )
         if mesh is not None:
             # Re-apply the pre-restore placements (ZeRO-1 opt-state shards,
             # the caller's param sharding): orbax returns single-device

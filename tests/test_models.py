@@ -106,6 +106,21 @@ class TestFlashAttention:
         got = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128, interpret=True))
         np.testing.assert_allclose(got, want, atol=2e-5)
 
+    def test_exp2_softmax_is_exact(self):
+        """use_exp2 (log2e folded into the scale, 2^x softmax) must be the
+        same softmax, not an approximation: 2^((s-m)*log2e) == e^(s-m)."""
+        from evoworld_tpu.ops.flash_attention import flash_attention
+
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(1, 200, 2, 32)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 333, 2, 32)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 333, 2, 32)).astype(np.float32))
+        base = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                          interpret=True))
+        exp2 = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                          interpret=True, use_exp2=True))
+        np.testing.assert_allclose(exp2, base, atol=2e-6)
+
     def test_pad_with_segment_mask_semantics(self):
         """The pad+segment-mask arithmetic feeding the TPU builtin flash
         kernel, validated on CPU: emulating the kernel's segment-id rule

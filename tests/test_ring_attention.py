@@ -104,16 +104,15 @@ class TestRingAttention:
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        rtol=2e-4, atol=2e-5)
 
-    def test_routing_falls_back_to_ring(self, monkeypatch):
+    def test_routing_falls_back_to_ring(self):
         """multi_head_attention: mesh set + heads not divisible -> ring path
         (must equal impl='xla'); heads divisible keeps the head-shard path
         (covered by tests/test_vggt.py::TestMeshReconstructor)."""
-        monkeypatch.setattr(att, "_HEAD_SHARD_MIN_SEQ", 16)
         rng = np.random.default_rng(5)
         q, k, v = _rand_qkv(rng, 1, 131, 3, 8)  # 3 heads % 8 devices != 0
         mesh = make_mesh(data=8, model=1)
         ref = multi_head_attention(q, k, v, impl="xla")
-        with att.head_sharded_attention(mesh):
+        with att.head_sharded_attention(mesh, min_seq=16):
             got = multi_head_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)

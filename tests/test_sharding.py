@@ -158,6 +158,62 @@ class TestZeRO2:
         np.testing.assert_allclose(p_a, p_b, rtol=1e-4)
 
 
+class TestFrameShardedTraining:
+    def test_frame_sharded_matches_unsharded_step(self, mesh8):
+        """shard_frames=True (sequence-parallel training, the bs-1
+        reference-scale fit path — SCALING.md "Training sharding") must not
+        change the update numerics: frames shard over "data", batch
+        replicates, and the temporal-mix collectives GSPMD inserts must be
+        exact."""
+        from evoworld_tpu.models.unet import UNetSpatioTemporal, UNetConfig
+        from evoworld_tpu.models.vae import AutoencoderKLTemporal, VAEConfig
+        from evoworld_tpu.models.clip import CLIPVisionTower, CLIPVisionConfig
+        from evoworld_tpu.train.train_step import (
+            TrainConfig, TrainState, make_optimizer, make_sharded_train_step,
+        )
+
+        mesh = make_mesh(jax.devices()[:4], model=1)
+        unet = UNetSpatioTemporal(UNetConfig(block_out_channels=(32, 32, 64, 64),
+                                             num_attention_heads=(1, 2, 4, 4),
+                                             layers_per_block=1))
+        vae = AutoencoderKLTemporal(VAEConfig(block_out_channels=(32, 32, 64, 64)))
+        clip_tower = CLIPVisionTower(CLIPVisionConfig(hidden_size=64, num_layers=2,
+                                                      num_heads=4, mlp_dim=128))
+        key = jax.random.key(0)
+        f, h, w = 4, 64, 128  # frames divide the 4-device data axis
+        unet_params = unet.init(
+            key, jnp.zeros((1, f, h // 8, w // 8, 18)), jnp.asarray(1.0),
+            jnp.zeros((1, 1, 1024)), jnp.zeros((1, 3)),
+        )
+        frozen = {
+            "vae": vae.init(key, jnp.zeros((1, h, w, 3)), 1),
+            "clip": clip_tower.init(key, jnp.zeros((1, 224, 224, 3))),
+        }
+        config = TrainConfig(total_steps=4, warmup_steps=1)
+        optimizer = make_optimizer(config, unet_params)
+        batch = {
+            "pixel_values": jnp.full((1, f, h, w, 3), 0.1),  # bs 1: batch
+            "memory_values": jnp.zeros((1, f, h, w, 3)),     # sharding would
+            "plucker": jnp.zeros((1, f, h // 8, w // 8, 6)),  # be a no-op
+        }
+
+        results = []
+        for kwargs in (dict(mesh=None), dict(mesh=mesh, shard_frames=True)):
+            params = jax.tree.map(jnp.copy, unet_params)
+            state = TrainState(params, optimizer.init(params),
+                               jnp.zeros((), jnp.int32))
+            step = make_sharded_train_step(
+                unet, vae, clip_tower, frozen, optimizer, config,
+                compute_dtype=jnp.float32, **kwargs,
+            )
+            new_state, metrics = step(state, batch, jax.random.key(1))
+            results.append((float(metrics["loss"]),
+                            float(jnp.sum(jnp.abs(new_state.params["params"]["conv_in"]["kernel"])))))
+        (loss_a, p_a), (loss_b, p_b) = results
+        np.testing.assert_allclose(loss_a, loss_b, rtol=1e-4)
+        np.testing.assert_allclose(p_a, p_b, rtol=1e-4)
+
+
 class TestShardedSplat:
     def test_view_sharded_render_matches(self, mesh8):
         """render_memory_panoramas(mesh=...) — the T independent z-buffer

@@ -70,16 +70,16 @@ class TestVGGT:
 
 
 class TestMeshReconstructor:
-    def test_sharded_matches_single_device(self, monkeypatch):
+    def test_sharded_matches_single_device(self):
         """make_reconstructor(mesh=...) — frame-sharded inputs + head-sharded
         global attention (shard_map) — must reproduce the single-device
         output. Heads (4) shard over a 4-device submesh; the head-shard
-        routing threshold is lowered so the tiny sequences engage it."""
+        routing threshold is lowered via the head_shard_min_seq parameter so
+        the tiny sequences engage it."""
         from evoworld_tpu.models.vggt.model import make_reconstructor
         from evoworld_tpu.ops import attention as att
         from evoworld_tpu.parallel.mesh import make_mesh
 
-        monkeypatch.setattr(att, "_HEAD_SHARD_MIN_SEQ", 16)
         model = VGGT(TINY)
         rng = np.random.RandomState(0)
         imgs = rng.rand(4, 48, 64, 3).astype(np.float32)
@@ -87,7 +87,8 @@ class TestMeshReconstructor:
 
         ref = make_reconstructor(model, params, jnp.float32, offload_params=False)(imgs)
         mesh = make_mesh(devices=jax.devices()[:4], data=4, model=1)
-        got = make_reconstructor(model, params, jnp.float32, mesh=mesh)(imgs)
+        got = make_reconstructor(model, params, jnp.float32, mesh=mesh,
+                                 head_shard_min_seq=16)(imgs)
         for key in ("world_points", "conf", "extrinsic"):
             np.testing.assert_allclose(
                 np.asarray(got[key]), np.asarray(ref[key]), rtol=1e-4, atol=1e-4,
