@@ -71,11 +71,15 @@ def tiny_gate_vggt(n_devices: int):
     )))
 
 
-def run_composed_loop(n_devices: int):
-    """Run the tiny 2-segment episode single-device and mesh-sharded.
+def run_composed_loop(n_devices: int, include_reference: bool = True):
+    """Run the tiny 2-segment episode mesh-sharded (and optionally unsharded).
 
     Returns (ref, got): `run_episode` result dicts from the unsharded and the
     `n_devices`-mesh runs (VGGT heads == n_devices so head sharding engages).
+    With include_reference=False, `ref` is None and only the sharded episode
+    runs — the driver dryrun uses this to halve its cold-cache compile bill;
+    the unsharded==sharded equality evidence lives in
+    tests/test_sharding.py::TestShardedLoop, which keeps include_reference=True.
     """
     from evoworld_tpu.diffusion.pipeline import make_random_pipeline
     from evoworld_tpu.models.vggt.model import make_reconstructor
@@ -104,7 +108,7 @@ def run_composed_loop(n_devices: int):
                            mesh=mesh_)
         return loop.run_episode(start, poses * 0.1, poses, jax.random.key(0))
 
-    return run(None), run(mesh)
+    return (run(None) if include_reference else None), run(mesh)
 
 
 def assert_episode_close(ref: dict, got: dict) -> None:

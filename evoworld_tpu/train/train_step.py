@@ -301,6 +301,7 @@ def make_sharded_train_step(
     accum_steps: int = 1,
     zero_stage: int = 1,
     shard_frames: bool = False,
+    compiler_options: dict | None = None,
 ):
     """Build the jitted (optionally mesh-sharded) train step.
 
@@ -326,6 +327,12 @@ def make_sharded_train_step(
     `lax.scan` and the optimizer is applied ONCE per global step — the
     reference's `accelerator.accumulate` semantics
     (train_evoworld.py:525, --gradient_accumulation_steps 4 in train.sh:20).
+
+    `compiler_options` passes per-jit XLA options (the multi-chip dryrun
+    compiles this step on a virtual CPU backend with
+    {"xla_backend_optimization_level": 0}: the gate is compile-dominated and
+    executes one tiny step, so skipping the expensive LLVM passes halves its
+    wall clock without touching any production compile).
     """
 
     def value_and_grads(params, mask, batch, rng):
@@ -403,7 +410,8 @@ def make_sharded_train_step(
         # fresh and resumed runs share a single executable (measured:
         # 121 s -> 0.6 s for the first post-restore step on the tiny config).
         sds = jax.sharding.SingleDeviceSharding(jax.devices()[0])
-        return jax.jit(step_fn, in_shardings=(sds, sds, sds), donate_argnums=(0,))
+        return jax.jit(step_fn, in_shardings=(sds, sds, sds), donate_argnums=(0,),
+                       compiler_options=compiler_options)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -424,4 +432,5 @@ def make_sharded_train_step(
         step_fn,
         in_shardings=(None, batch_shardings, repl),
         donate_argnums=(0,),
+        compiler_options=compiler_options,
     )
