@@ -416,18 +416,23 @@ def make_sharded_train_step(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     if shard_frames:
-        # Frame axis (dim 1 of (B, F, ...) leaves; dim 2 with a leading
-        # micro-batch axis) over "data"; batch replicates.
-        batch_spec = P(None, None, "data") if accum_steps > 1 else P(None, "data")
+        # Frame sharding happens INSIDE the step (edm_loss's
+        # with_sharding_constraint calls, which GSPMD pads for frame counts
+        # that don't divide the mesh — the reference trains F=25 on meshes
+        # of 8). An explicit frame spec in in_shardings would instead
+        # REQUIRE divisibility at lower time, so the batch argument accepts
+        # any placement here (AUTO: committed sharded inputs stay put,
+        # host arrays replicate).
+        batch_shardings = None
     else:
         batch_spec = P(None, "data") if accum_steps > 1 else P("data")
-    batch_sharding = NamedSharding(mesh, batch_spec)
+        batch_sharding = NamedSharding(mesh, batch_spec)
+        batch_shardings = {
+            "pixel_values": batch_sharding,
+            "memory_values": batch_sharding,
+            "plucker": batch_sharding,
+        }
     repl = NamedSharding(mesh, P())
-    batch_shardings = {
-        "pixel_values": batch_sharding,
-        "memory_values": batch_sharding,
-        "plucker": batch_sharding,
-    }
     return jax.jit(
         step_fn,
         in_shardings=(None, batch_shardings, repl),

@@ -31,6 +31,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 def provision(n: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -76,8 +78,10 @@ def main(argv=None):
     mesh = make_mesh(jax.devices()[: args.devices], model=1)
     repl = NamedSharding(mesh, P())
 
-    # Full-scale architecture (reference train.sh / unet_plucker.py defaults).
-    unet = UNetSpatioTemporal(UNetConfig())
+    # Full-scale architecture (reference train.sh / unet_plucker.py defaults),
+    # remat on transformer blocks exactly as the production trainer and the
+    # measured single-chip rung (bench_train.py) compile it.
+    unet = UNetSpatioTemporal(UNetConfig(remat=True))
     vae = AutoencoderKLTemporal(VAEConfig())
     clip_tower = CLIPVisionTower(CLIPVisionConfig())
 
@@ -135,11 +139,15 @@ def main(argv=None):
         jax.ShapeDtypeStruct((), jnp.int32, sharding=repl),
     )
 
-    frame_sh = NamedSharding(mesh, P(None, "data"))
+    # Batch arguments REPLICATED: F=25 does not divide 8, so an explicit
+    # frame-sharded input spec is rejected at lower time; the step's internal
+    # with_sharding_constraint calls (edm_loss) shard the frame axis, which
+    # GSPMD pads for uneven counts (ceil(25/8)=4 frames/chip). The replicated
+    # arguments cost ~0.35 GiB/device and are counted in argument_gib.
     batch_sds = {
-        "pixel_values": jax.ShapeDtypeStruct((1, f, height, width, 3), jnp.float32, sharding=frame_sh),
-        "memory_values": jax.ShapeDtypeStruct((1, f, height, width, 3), jnp.float32, sharding=frame_sh),
-        "plucker": jax.ShapeDtypeStruct((1, f, lh, lw, 6), jnp.float32, sharding=frame_sh),
+        "pixel_values": jax.ShapeDtypeStruct((1, f, height, width, 3), jnp.float32, sharding=repl),
+        "memory_values": jax.ShapeDtypeStruct((1, f, height, width, 3), jnp.float32, sharding=repl),
+        "plucker": jax.ShapeDtypeStruct((1, f, lh, lw, 6), jnp.float32, sharding=repl),
     }
     rng_sds = jax.ShapeDtypeStruct(
         jax.eval_shape(lambda: jax.random.key(0)).shape,
@@ -190,29 +198,40 @@ def main(argv=None):
     ma = compiled.memory_analysis()
     cost = compiled.cost_analysis()
     gib = 1024.0**3
+    # XLA:CPU field semantics (calibrated against the TPU-compiled rung in
+    # TRAIN_BENCH_r4): `temp_size_in_bytes` on this backend is the SUM of
+    # temp buffers with no liveness overlap, while `peak_memory_in_bytes`
+    # is the liveness-aware heap peak (temps live simultaneously). The
+    # per-chip HBM estimate is therefore
+    #   arguments (state incl. fp32 masters/moments shards, batch, rng)
+    #   + liveness-aware temp peak
+    #   + frozen VAE/CLIP closure constants,
+    # with outputs aliasing the donated state (alias_gib).
     result = {
         "shape": f"{width}x{height}x{f} bs1",
         "devices": args.devices,
-        "sharding": "frames over data (8), ZeRO-1 opt state, params replicated, mixed bf16/fp32 masters",
+        "sharding": "frames over data (8), ZeRO-1 opt state, params replicated, mixed bf16/fp32 masters, remat transformer blocks",
         "backend": "cpu-virtual (see script docstring caveat)",
         "per_device": {
             "argument_gib": ma.argument_size_in_bytes / gib,
             "alias_gib": ma.alias_size_in_bytes / gib,
-            "temp_gib": ma.temp_size_in_bytes / gib,
+            "temp_sum_no_reuse_gib": ma.temp_size_in_bytes / gib,
             "output_gib": ma.output_size_in_bytes / gib,
-            "peak_gib": (ma.peak_memory_in_bytes / gib) if ma.peak_memory_in_bytes else None,
-            "args_plus_temp_gib": (ma.argument_size_in_bytes + ma.temp_size_in_bytes) / gib,
+            "peak_liveness_gib": (ma.peak_memory_in_bytes / gib) if ma.peak_memory_in_bytes else None,
         },
         "frozen_nets_bf16_gib": frozen_bytes / gib,
-        "flops_per_step_tflop": cost.get("flops", 0.0) / 1e12 if cost else None,
+        "flops_per_step_per_device_tflop": cost.get("flops", 0.0) / 1e12 if cost else None,
         "lower_s": round(t_lower, 1),
         "compile_s": round(t_compile, 1),
         "hbm_per_chip_gib": 16.0,
     }
     a = result["per_device"]
-    result["fits_16gib"] = bool(
-        (a["args_plus_temp_gib"] + result["frozen_nets_bf16_gib"]) < 16.0
-    )
+    if a["peak_liveness_gib"] is not None:
+        result["per_chip_estimate_gib"] = (
+            a["argument_gib"] + a["peak_liveness_gib"]
+            + result["frozen_nets_bf16_gib"]
+        )
+        result["fits_16gib"] = bool(result["per_chip_estimate_gib"] < 16.0)
     print(json.dumps(result, indent=2))
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=2)

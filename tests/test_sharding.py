@@ -159,12 +159,15 @@ class TestZeRO2:
 
 
 class TestFrameShardedTraining:
-    def test_frame_sharded_matches_unsharded_step(self, mesh8):
+    @pytest.mark.parametrize("f", [4, 5])
+    def test_frame_sharded_matches_unsharded_step(self, mesh8, f):
         """shard_frames=True (sequence-parallel training, the bs-1
         reference-scale fit path — SCALING.md "Training sharding") must not
         change the update numerics: frames shard over "data", batch
         replicates, and the temporal-mix collectives GSPMD inserts must be
-        exact."""
+        exact. f=5 on the 4-device mesh is the UNEVEN case (the reference
+        trains F=25, which no 2^k mesh divides): the frame axis is sharded
+        by the step's internal with_sharding_constraint, which GSPMD pads."""
         from evoworld_tpu.models.unet import UNetSpatioTemporal, UNetConfig
         from evoworld_tpu.models.vae import AutoencoderKLTemporal, VAEConfig
         from evoworld_tpu.models.clip import CLIPVisionTower, CLIPVisionConfig
@@ -180,7 +183,7 @@ class TestFrameShardedTraining:
         clip_tower = CLIPVisionTower(CLIPVisionConfig(hidden_size=64, num_layers=2,
                                                       num_heads=4, mlp_dim=128))
         key = jax.random.key(0)
-        f, h, w = 4, 64, 128  # frames divide the 4-device data axis
+        h, w = 64, 128
         unet_params = unet.init(
             key, jnp.zeros((1, f, h // 8, w // 8, 18)), jnp.asarray(1.0),
             jnp.zeros((1, 1, 1024)), jnp.zeros((1, 3)),
