@@ -217,6 +217,29 @@ class TestParityGateLogic:
         # Zero reference score must not divide by zero.
         assert _gate({"psnr": 0.0}, {"psnr": 0.0}, ("psnr",), 0.01, "t") == []
 
+    def test_reference_frame_size_mismatch_fails_loudly(self, tmp_path):
+        """A size-mismatched --parity.reference_frames dir must abort rather
+        than silently bilinear-resample (which biases PSNR/LPIPS and could
+        flip the 1% verdict); --parity.resize_reference=true opts back into
+        the resample explicitly."""
+        from evoworld_tpu.cli.validate_parity import _load_png_dir
+
+        ref_dir = tmp_path / "ref_frames"
+        ref_dir.mkdir()
+        for i in range(3):
+            Image.fromarray(np.full((32, 64, 3), 127, np.uint8)).save(
+                ref_dir / f"{i:03d}.png")
+
+        with pytest.raises(SystemExit) as exc:
+            _load_png_dir(str(ref_dir), 3, (64, 128))
+        assert "resize_reference" in str(exc.value)
+
+        frames = _load_png_dir(str(ref_dir), 3, (64, 128), allow_resize=True)
+        assert frames.shape == (3, 64, 128, 3)
+        # Matching size never resizes and never raises.
+        frames = _load_png_dir(str(ref_dir), 3, (32, 64))
+        assert frames.shape == (3, 32, 64, 3)
+
     def test_missing_metric_in_reference_scores_is_gate_fail(self, tmp_path, capsys):
         from evoworld_tpu.cli.validate_parity import _reference_scores_from_json
 
