@@ -19,7 +19,12 @@ import os
 import jax
 import jax.numpy as jnp
 
-from evoworld_tpu.cli.common import frames_from_minus1_1, logger, parse_config, save_frames
+from evoworld_tpu.cli.common import (
+    AsyncFrameWriter,
+    frames_from_minus1_1,
+    logger,
+    parse_config,
+)
 from evoworld_tpu.data.dataset import EpisodeDataset, load_camera_poses
 from evoworld_tpu.loop.navigator import Navigator, calculate_segment_indices
 from evoworld_tpu.loop.unified import UnifiedLoop
@@ -64,32 +69,46 @@ def main(argv=None):
         # PNGs per segment too, unified_loop_consistency.py:430-440) — deep
         # episodes then hold only the reconstruction window in HBM instead of
         # every decoded frame + memory stack (a 5-segment 1024x576 episode is
-        # ~850 MB of frames + ~170 MB/segment of renders in fp32).
-        def save_segment(seg_id, frames):
+        # ~850 MB of frames + ~170 MB/segment of renders in fp32). Encoding
+        # happens on a background thread (AsyncFrameWriter) so the ~100
+        # ms/frame PNG encode overlaps the next segment's device compute;
+        # host_save now times only the u8 conversion + enqueue, and the
+        # writer's own busy seconds are reported at episode end.
+        def save_segment(seg_id, frames, writer):
             with phase_timer("host_save", sync=False):
                 start = seg_id * (config.pipeline.num_frames - 1)
-                save_frames(frames, os.path.join(ep_dir, f"predictions_{seg_id}"), start)
+                writer.submit(frames, os.path.join(ep_dir, f"predictions_{seg_id}"), start)
                 s, e, _ = calculate_segment_indices(seg_id, config.loop.num_target_view)
                 gt = sample.pixel_values[s - 1 : e - 1] if seg_id else sample.pixel_values[0:e]
-                save_frames(
+                writer.submit(
                     frames_from_minus1_1(gt[1:] if seg_id else gt),
                     os.path.join(ep_dir, f"predictions_gt_{seg_id}"), start,
                 )
 
-        def save_memory(seg_id, mem):
+        def save_memory(seg_id, mem, writer):
             with phase_timer("host_save", sync=False):
-                save_frames(mem, os.path.join(ep_dir, f"rendered_panorama_{seg_id}"),
-                            0, "{:02d}.png")
+                writer.submit(mem, os.path.join(ep_dir, f"rendered_panorama_{seg_id}"),
+                              0, "{:02d}.png")
 
-        loop.run_episode(
-            jnp.asarray(sample.pixel_values[0]),
-            sample.cam_traj,
-            camera_params,
-            jax.random.key(rt.seed + idx),
-            on_segment=save_segment,
-            on_memory=save_memory,
+        with AsyncFrameWriter() as writer:
+            loop.run_episode(
+                jnp.asarray(sample.pixel_values[0]),
+                sample.cam_traj,
+                camera_params,
+                jax.random.key(rt.seed + idx),
+                on_segment=lambda seg_id, frames: save_segment(seg_id, frames, writer),
+                on_memory=lambda seg_id, mem: save_memory(seg_id, mem, writer),
+            )
+        from evoworld_tpu.utils.profiling import phase_add
+
+        # Overlapped with device compute — reported separately from the
+        # inline host_save (u8 convert + enqueue) so E2E artifacts show
+        # both the true encode cost and that it left the critical path.
+        phase_add("host_encode_overlapped", writer.busy_s)
+        logger.info(
+            f"Saved episode to {ep_dir} "
+            f"(writer encoded {writer.busy_s:.1f} s in the background)"
         )
-        logger.info(f"Saved episode to {ep_dir}")
 
 
 if __name__ == "__main__":

@@ -63,6 +63,14 @@ def _hbm_suffix() -> str:
         return ""
 
 
+def phase_add(name: str, seconds: float) -> None:
+    """Record externally-measured time under a phase name (e.g. background
+    writer threads whose work overlaps device compute and therefore must
+    not be timed inline)."""
+    _PHASE_TOTALS[name] += seconds
+    _PHASE_COUNTS[name] += 1
+
+
 def phase_reset() -> None:
     """Clear accumulated phase totals (e.g. between a compile episode and a
     steady-state measurement episode in bench_loop.py)."""

@@ -174,8 +174,13 @@ bool encode_png(const char* path, const uint8_t* rgb, int h, int w) {
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   // Match the artifact role (final frames): favor encode speed — PNG is
   // lossless at any level, and level 1 halves the write time of the
-  // default 6 at these image sizes.
+  // default 6 at these image sizes. Adaptive row filtering is the other
+  // half of the cost: libpng's default tries all 5 filters per row, and a
+  // measured A/B on a real 2000x1000 pano frame gives 206 ms (ALL) vs
+  // 100 ms (NONE) per frame at level 1 — with the NONE file slightly
+  // SMALLER (0.97 vs 0.99 MB) on this content. Skip filtering entirely.
   png_set_compression_level(png, 1);
+  png_set_filter(png, 0, PNG_FILTER_NONE);
   png_write_info(png, info);
   std::vector<png_bytep> rows(h);
   for (int y = 0; y < h; ++y)

@@ -358,3 +358,28 @@ class TestNativePngEncoder:
         assert names == ["001.png", "002.png", "003.png"]
         back = np.asarray(Image.open(out / "001.png"))
         np.testing.assert_array_equal(back, (frames[0] * 255).astype(np.uint8))
+
+    def test_async_writer_round_trip_and_error(self, tmp_path):
+        """AsyncFrameWriter writes identically to save_frames (uint8
+        passthrough — no double conversion) and re-raises worker failures."""
+        import numpy as np
+        import pytest
+        from PIL import Image
+
+        from evoworld_tpu.cli.common import AsyncFrameWriter
+
+        rng = np.random.default_rng(1)
+        frames = rng.uniform(0, 1, (2, 8, 12, 3)).astype(np.float32)
+        with AsyncFrameWriter() as w:
+            w.submit(frames, str(tmp_path / "a"), start_index=0)
+            w.submit(frames[:1], str(tmp_path / "b"), 0, "{:02d}.png")
+        assert w.busy_s > 0
+        back = np.asarray(Image.open(tmp_path / "a" / "001.png"))
+        np.testing.assert_array_equal(back, (frames[1] * 255).astype(np.uint8))
+        assert (tmp_path / "b" / "00.png").exists()
+
+        # a worker failure surfaces at close() (unwritable directory)
+        bad = AsyncFrameWriter()
+        bad.submit(frames, "/proc/definitely/not/writable")
+        with pytest.raises(BaseException):
+            bad.close()
